@@ -1,0 +1,131 @@
+"""Checkpointing: save/restore of parameter + optimizer pytrees.
+
+TPU-native counterpart of the reference's TF-Saver checkpoints + ``.snap``
+sidecars (/root/reference/feeder.py:198-288).  A checkpoint is a single
+pickle of a flat {slash/joined/name: numpy array} dict plus scalar leaves,
+which makes the reference's *name-diffing* restore semantics
+(feeder.py:224-249) straightforward: variables present in exactly one side
+are reported, ignorable names are skipped, and everything that matches by
+name (and shape) is loaded.  Offline checkpoint surgery lives in
+tools/modify_checkpoint.py, mirroring the reference's tool.
+"""
+
+import os
+import pickle
+
+import numpy as np
+
+from video_learning_tpu.utils import error, info, warning
+
+_SEP = "/"
+
+
+# ------------------------------------------------------------- tree <-> flat
+def flatten_tree(tree, prefix=""):
+    """Flatten a nested dict/list pytree into {path: leaf}."""
+    out = {}
+    if isinstance(tree, dict):
+        items = tree.items()
+    elif isinstance(tree, (list, tuple)):
+        items = ((str(i), v) for i, v in enumerate(tree))
+    else:
+        return {prefix.rstrip(_SEP): tree}
+    for k, v in items:
+        path = prefix + str(k)
+        if isinstance(v, (dict, list, tuple)):
+            out.update(flatten_tree(v, path + _SEP))
+        else:
+            out[path] = v
+    return out
+
+
+def _assign_flat(tree, path_parts, value):
+    key = path_parts[0]
+    if isinstance(tree, (list, tuple)):
+        idx = int(key)
+        if len(path_parts) == 1:
+            tree[idx] = value
+        else:
+            _assign_flat(tree[idx], path_parts[1:], value)
+        return
+    if len(path_parts) == 1:
+        tree[key] = value
+    else:
+        _assign_flat(tree[key], path_parts[1:], value)
+
+
+def _to_numpy(leaf):
+    if hasattr(leaf, "dtype") and hasattr(leaf, "shape"):
+        return np.asarray(leaf)
+    return leaf
+
+
+# ------------------------------------------------------------------- public
+def save_checkpoint(path, state):
+    """Serialize a state pytree to ``path`` (a flat numpy dict pickle)."""
+    flat = {k: _to_numpy(v) for k, v in flatten_tree(state).items()}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(flat, f, protocol=4)
+    os.replace(tmp, path)
+
+
+def load_flat(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_checkpoint(path, state, ignorable_names=None, strict=False):
+    """Load ``path`` into ``state`` (a mutable nested-dict pytree) with
+    name diffing (reference feeder.py:224-249): names missing on either
+    side are reported; ``ignorable_names`` (substring match, like the
+    reference's checkpoint-ignorable variables) are silently skipped.  With
+    strict=True, unexpected mismatches raise instead of warn."""
+    ignorable_names = ignorable_names or []
+    saved = load_flat(path)
+    current = flatten_tree(state)
+
+    def ignorable(name):
+        return any(ig in name for ig in ignorable_names)
+
+    missing_from_ckpt = [n for n in current
+                         if n not in saved and not ignorable(n)]
+    missing_from_curr = [n for n in saved
+                         if n not in current and not ignorable(n)]
+    if missing_from_ckpt:
+        msg = ("%d variables missing from checkpoint: %s"
+               % (len(missing_from_ckpt), missing_from_ckpt[:16]))
+        error(msg) if strict else warning(msg)
+    if missing_from_curr:
+        msg = ("%d checkpoint variables missing in the model: %s"
+               % (len(missing_from_curr), missing_from_curr[:16]))
+        error(msg) if strict else warning(msg)
+
+    loaded = 0
+    for name, value in saved.items():
+        if name not in current or ignorable(name):
+            continue
+        cur = current[name]
+        if hasattr(cur, "shape") and hasattr(value, "shape") and \
+                tuple(cur.shape) != tuple(value.shape):
+            msg = ("Shape mismatch for %s: checkpoint %s vs model %s"
+                   % (name, value.shape, cur.shape))
+            error(msg) if strict else warning(msg)
+            continue
+        _assign_flat(state, name.split(_SEP), value)
+        loaded += 1
+    info("Restored %d/%d variables from %s" % (loaded, len(current), path))
+    return state
+
+
+def delete_checkpoint(path):
+    for suffix in ("", ".snap"):
+        target = path + suffix
+        if os.path.exists(target):
+            os.remove(target)
+
+
+def get_checkpoint_tensor_names(path):
+    """Names of all array leaves in a checkpoint
+    (reference tools/inspect_checkpoint.py:60-80)."""
+    return sorted(load_flat(path).keys())

@@ -1,0 +1,444 @@
+"""YAML configuration system: Settings + Network (pipeline spec) loading.
+
+TPU-native counterpart of the reference's config layer
+(/root/reference/settings_.py).  The external contract is preserved:
+
+* one YAML file with ``run:`` / ``serialize:`` / ``captions:`` documents,
+* enum values written as validated ``defs.*`` dotted strings,
+* ``run.network.pipelines``: an ordered, named DAG of pipeline specs
+  {input, representation, frame_encoding_layer, fc_output_dim, classifier,
+  lstm_params, weights_file, frame_fusion, input_shape, input_fusion}
+  (settings_.py:167-208), with unknown-field rejection,
+* per-phase train/val option blocks (settings_.py:271-298),
+* ``data:`` entries describing datasets with imgproc chains
+  (settings_.py:304-366),
+* run-id / run-folder / provenance-copy conventions (settings_.py:210-243,
+  404-421).
+
+Internals are new: configs resolve to plain dataclass-style objects consumed
+by the jitted training/eval engines.
+"""
+
+import logging
+import os
+import shutil
+
+import yaml
+
+from video_learning_tpu.defs import defs
+from video_learning_tpu.parse_opts import parse_seq, parse_shape
+from video_learning_tpu.utils import (CustomLogger, error, warning, info,
+                                      debug, get_datetime_str, prep_email)
+
+
+class Network:
+    """Parsed spec of a single pipeline (reference settings_.py:29-31 +
+    read_network :167-208)."""
+    input = None
+    input_shape = None
+    input_fusion = None
+    representation = None
+    frame_encoding_layer = None
+    fc_output_dim = None
+    classifier = None
+    lstm_params = None
+    weights_file = None
+    frame_fusion = None
+
+
+class TrainOpts:
+    batch_size = 100
+    epochs = 15
+    epoch_index = 0
+    optimizer = defs.optim.sgd
+    base_lr = 0.001
+    lr_mult = None
+    lr_decay = None
+    clip_norm = None
+    clip_grads = None
+    dropout_keep_prob = 0.5
+    batch_item = defs.batch_item.default
+
+
+class ValOpts:
+    batch_size = 1
+    logits_save_interval = None
+    clip_fusion_type = None
+    clip_fusion_method = None
+    batch_item = defs.batch_item.default
+
+
+class CaptionOpts:
+    caption_search = defs.caption_search.max
+    eval_type = defs.eval_type.coco
+    caption_ground_truth = None
+    word_embeddings_file = None
+
+
+class Settings:
+    """Run settings: parses and validates the ``run:`` YAML document and
+    instantiates the Feeder with its datasets."""
+
+    def __init__(self):
+        self.run_id = ""
+        self.resume_file = None
+        self.run_folder = None
+        self.global_step = 0
+        self.feeder = None
+        self.pipelines = {}
+        self.pipeline_names = []
+        self.train = None
+        self.val = None
+        self.captioning = None
+        self.phases = []
+        self.phase = None
+        self.num_classes = None
+        self.logging_level = "logging.INFO"
+        self.tensorboard_folder = "tensorboard"
+        self.print_tensors = False
+        self.email_notify = None
+        self.save_freq_per_epoch = 1
+        self.timestamp = None
+        self.logger = None
+        self.seed = 0
+        # mesh/sharding options (TPU-native addition; defaults single-chip)
+        self.mesh_shape = None          # e.g. {"data": 4, "model": 2}
+        self.compute_dtype = "bfloat16"
+        self._pipeline_field_cache = []
+
+    # ------------------------------------------------------------- helpers
+    def get_batch_size(self):
+        if defs.phase.train in self.phases:
+            return self.train.batch_size
+        return self.val.batch_size
+
+    def get_dropout(self):
+        if self.phase == defs.phase.train:
+            return self.train.dropout_keep_prob
+        return 0.0
+
+    def should_resume(self):
+        return bool(self.resume_file)
+
+    def get_train_str(self):
+        tr = self.train
+        s = "classes: %d, epochs: %d, optim: %s, lr: %s" % (
+            self.num_classes, tr.epochs, tr.optimizer, tr.base_lr)
+        if tr.lr_mult is not None:
+            s += ", lr_mult: %s" % tr.lr_mult
+        if tr.lr_decay is not None:
+            s += ", decay: %s" % (tr.lr_decay,)
+        if tr.clip_norm is not None:
+            s += ", clip_norm: %s" % tr.clip_norm
+        return s
+
+    # ------------------------------------------------------- field reading
+    def read_field(self, config, fieldname, validate=None, required=False,
+                   listify=False):
+        """Read+validate one pipeline field, tracking touched fields so that
+        unknown config keys can be rejected (settings_.py:135-164,204-207)."""
+        self._pipeline_field_cache.append(fieldname)
+        val = config.get(fieldname)
+        if val is None:
+            if required:
+                error("No value specified for required field [%s]" % fieldname)
+            return [None] if listify else None
+        if validate is not None:
+            if isinstance(validate, (list, tuple)):
+                val = list(val)
+                if len(validate) != len(val):
+                    error("Field [%s] requires %d entries, found: [%s]"
+                          % (fieldname, len(validate), str(val)))
+                val = [defs.check(el, v) for el, v in zip(val, validate)]
+            else:
+                val = defs.check(val, validate)
+        if listify and not isinstance(val, (list, tuple)):
+            val = [val]
+        return list(val) if listify else val
+
+    def read_network(self, pipeline_content):
+        """Parse one pipeline spec (settings_.py:167-208)."""
+        network = Network()
+        self._pipeline_field_cache = []
+        network.input = self.read_field(pipeline_content, "input",
+                                        listify=True)
+        if any(x is None for x in network.input):
+            error("<None> or undefined <input> tag in pipeline: %s"
+                  % pipeline_content)
+        for i, inp in enumerate(network.input):
+            if inp in self.pipelines:
+                continue
+            is_tag, tagname = defs.check(inp, defs.dataset_tag,
+                                         do_boolean=True)
+            if is_tag:
+                network.input[i] = tagname
+            else:
+                error("Input identifier [%s] is not a dataset tag, and no "
+                      "such pipeline has been declared yet." % inp)
+
+        network.representation = self.read_field(
+            pipeline_content, "representation", required=True,
+            validate=defs.representation)
+        if network.representation == defs.representation.dcnn:
+            network.frame_encoding_layer = self.read_field(
+                pipeline_content, "frame_encoding_layer", required=True)
+        if network.representation == defs.representation.fc:
+            network.fc_output_dim = int(self.read_field(
+                pipeline_content, "fc_output_dim", required=True))
+
+        network.classifier = self.read_field(pipeline_content, "classifier",
+                                             validate=defs.classifier)
+        if network.classifier == defs.classifier.lstm:
+            params = self.read_field(pipeline_content, "lstm_params")
+            if params is None:
+                error("LSTM classifier requires lstm_params")
+            network.lstm_params = [int(params[0]), int(params[1]),
+                                   defs.check(params[2], defs.fusion_method)]
+
+        network.weights_file = self.read_field(pipeline_content,
+                                               "weights_file")
+        # accept the reference's alternate key too (config.example.yml:43)
+        lw = self.read_field(pipeline_content, "load_weights")
+        if network.weights_file is None and lw is not None:
+            network.weights_file = lw
+        network.frame_fusion = self.read_field(
+            pipeline_content, "frame_fusion",
+            validate=(defs.fusion_type, defs.fusion_method))
+        raw_shapes = self.read_field(pipeline_content, "input_shape",
+                                     listify=True)
+        network.input_shape = [
+            None if shp in (None, "None") else parse_shape(shp)
+            for shp in raw_shapes]
+        network.input_fusion = self.read_field(pipeline_content,
+                                               "input_fusion",
+                                               validate=defs.fusion_method)
+
+        unread = [k for k in pipeline_content
+                  if k not in self._pipeline_field_cache]
+        if unread:
+            error("Undefined pipeline field(s): %s" % str(unread))
+        return network
+
+    # --------------------------------------------------------- main parser
+    def read_config(self, config, init_file):
+        self.resume_file = config.get("resume_file")
+        self.run_folder = config["run_folder"]
+        if config.get("run_id"):
+            self.run_id = config["run_id"]
+        self.seed = int(config.get("seed", 0))
+        if config.get("mesh_shape"):
+            self.mesh_shape = dict(config["mesh_shape"])
+        if config.get("compute_dtype"):
+            self.compute_dtype = str(config["compute_dtype"])
+
+        # phases + run id (settings_.py:219-239)
+        self.phases = defs.check(config["phase"], defs.phase)
+        if not isinstance(self.phases, list):
+            self.phases = [self.phases]
+        self.phase = self.phases[0]
+        trainval_str = ""
+        if defs.phase.train in self.phases:
+            trainval_str = "train"
+        if defs.phase.val in self.phases:
+            trainval_str += "val"
+        trainval_str += "_resume" if self.should_resume() else "_scratch"
+        base = self.run_id if self.run_id else os.path.basename(init_file)
+        self.run_id = "_".join([base, trainval_str])
+
+        if not os.path.exists(self.run_folder):
+            warning("Non existent run folder %s - creating." % self.run_folder)
+            os.makedirs(self.run_folder, exist_ok=True)
+
+        # logging (settings_.py:246-256)
+        logcfg = config.get("logging", {})
+        self.save_freq_per_epoch = float(logcfg.get("save_freq_per_epoch", 1))
+        self.logging_level = str(logcfg.get("level", "logging.INFO"))
+        valid_levels = ["logging." + x for x in ("INFO", "DEBUG", "WARN")]
+        if self.logging_level not in valid_levels:
+            error("Invalid logging level: %s" % self.logging_level)
+        self.tensorboard_folder = logcfg.get("tensorboard_folder",
+                                             "tensorboard")
+        self.print_tensors = bool(logcfg.get("print_tensors", False))
+        self.email_notify = logcfg.get("email_notify")
+        if self.email_notify:
+            self.email_notify = prep_email(self.email_notify)
+        self.configure_logging()
+
+        # pipelines, in config order (settings_.py:260-267)
+        for pipeline in config["network"]["pipelines"]:
+            pname, content = list(pipeline.items())[0]
+            debug("Reading network [%s]" % pname)
+            self.pipelines[pname] = self.read_network(content)
+            self.pipeline_names.append(pname)
+        self.num_classes = int(config["network"]["num_classes"])
+
+        # per-phase option blocks (settings_.py:271-298)
+        for phase in self.phases:
+            obj = config[phase]
+            if phase == defs.phase.train:
+                tr = TrainOpts()
+                tr.batch_size = int(obj["batch_size"])
+                tr.epochs = int(obj["epochs"])
+                tr.optimizer = defs.check(obj["optimizer"], defs.optim)
+                tr.base_lr = float(obj["base_lr"])
+                tr.lr_mult = (None if str(obj.get("lr_mult")) in
+                              ("None", "") or obj.get("lr_mult") is None
+                              else float(obj["lr_mult"]))
+                lr_decay = parse_seq(obj.get("lr_decay"))
+                if lr_decay is not None:
+                    parsed = [defs.check(lr_decay[0], defs.decay),
+                              defs.check(lr_decay[1], defs.periodicity),
+                              int(lr_decay[2]), float(lr_decay[3])]
+                    if len(lr_decay) > 4:
+                        parsed.append(int(lr_decay[4]))
+                    tr.lr_decay = parsed
+                cn = obj.get("clip_norm")
+                tr.clip_norm = (None if cn in (None, "None")
+                                else float(cn))
+                tr.dropout_keep_prob = float(obj.get("dropout_keep_prob", 0.5))
+                self.train = tr
+            if phase == defs.phase.val:
+                va = ValOpts()
+                va.batch_size = int(obj["batch_size"])
+                lsi = obj.get("logits_save_interval")
+                va.logits_save_interval = (None if lsi in (None, "None")
+                                           else int(lsi))
+                clip_fusion = parse_seq(obj.get("clip_fusion"))
+                if clip_fusion is not None:
+                    va.clip_fusion_type = defs.check(clip_fusion[0],
+                                                     defs.fusion_type)
+                    va.clip_fusion_method = defs.check(clip_fusion[1],
+                                                       defs.fusion_method)
+                self.val = va
+
+        # captioning options (config.example.yml:93-97)
+        if "captioning" in config:
+            cap = config["captioning"]
+            co = CaptionOpts()
+            co.caption_search = defs.check(
+                cap.get("caption_search", "defs.caption_search.max"),
+                defs.caption_search)
+            co.eval_type = defs.check(
+                cap.get("eval_type", "defs.eval_type.coco"), defs.eval_type)
+            co.caption_ground_truth = cap.get("caption_ground_truth")
+            co.word_embeddings_file = cap.get("word_embeddings_file")
+            self.captioning = co
+
+        # datasets -> feeder (settings_.py:302-366)
+        from video_learning_tpu.data.feeder import Feeder
+        self.feeder = Feeder(defs.input_mode.video, self.phases,
+                             (self.train, self.val),
+                             self.save_freq_per_epoch, self.run_folder,
+                             self.should_resume())
+        for dataid, dataobj in config.get("data", {}).items():
+            dataset_phase = defs.check(dataobj["phase"], defs.phase)
+            if dataset_phase not in self.phases:
+                info("Omitting dataset [%s] due to its phase [%s]"
+                     % (dataid, dataset_phase))
+                continue
+            path = dataobj["data_path"]
+            mean_image = parse_seq(dataobj.get("mean_image"))
+            batch_item = (defs.check(dataobj["batch_item"], defs.batch_item)
+                          if "batch_item" in dataobj
+                          else defs.batch_item.default)
+            prepend_folder = dataobj.get("prepend_folder") or None
+            image_shape = parse_shape(dataobj.get("image_shape"))
+            imgproc = [defs.check(opt, defs.imgproc)
+                       for opt in (parse_seq(dataobj.get("imgproc")) or [])]
+            if defs.imgproc.sub_mean in imgproc and not mean_image:
+                error("[%s] requires a supplied mean image intensity."
+                      % defs.imgproc.sub_mean)
+            raw_image_shape = parse_shape(dataobj.get("raw_image_shape"))
+            data_format = defs.check(dataobj["data_format"], defs.data_format)
+            frame_format = dataobj.get("frame_format")
+            tag = defs.check(dataobj["tag"], defs.dataset_tag)
+            if raw_image_shape is not None and \
+                    defs.imgproc.raw_resize not in imgproc:
+                imgproc.append(defs.imgproc.raw_resize)
+            if mean_image is not None and \
+                    defs.imgproc.sub_mean not in imgproc:
+                imgproc.append(defs.imgproc.sub_mean)
+            excl = [defs.imgproc.rand_crop in imgproc,
+                    defs.imgproc.center_crop in imgproc,
+                    defs.imgproc.resize in imgproc]
+            if sum(excl) > 1:
+                error("Need at most one of rand_crop/center_crop/resize. "
+                      "Imgproc params: %s" % imgproc)
+            if self.val and dataset_phase == defs.phase.val:
+                if defs.imgproc.rand_crop in imgproc:
+                    warning("Random cropping is enabled in validation mode.")
+                if defs.imgproc.rand_mirror in imgproc:
+                    warning("Random mirroring is enabled in validation mode.")
+            read_tries = int(dataobj.get("read_tries", 1))
+            captioning_config = None
+            if "captioning" in dataobj:
+                c = dataobj["captioning"]
+                captioning_config = (c.get("word_embeddings_file"),
+                                     c.get("caption_ground_truth"),
+                                     c.get("eval_type"),
+                                     c.get("caption_search"))
+            self.feeder.add_dataset(
+                dataset_phase, dataid, path, mean_image, prepend_folder,
+                image_shape, imgproc, raw_image_shape, data_format,
+                frame_format, batch_item, self.num_classes, tag, read_tries,
+                captioning_config)
+
+    # ------------------------------------------------------- orchestration
+    def configure_logging(self):
+        self.timestamp = get_datetime_str()
+        logfile = os.path.join(
+            self.run_folder,
+            "log_%s_%s.log" % (self.run_id, self.timestamp))
+        self.logger = CustomLogger()
+        self.logger.configure_logging(logfile, self.logging_level,
+                                      self.email_notify)
+
+    def initialize_from_file(self, init_file):
+        if init_file is None:
+            return
+        if not os.path.exists(init_file):
+            error("Unable to read initialization file [%s]." % init_file)
+        if init_file.endswith(".ini"):
+            error(".ini files deprecated.")
+        with open(init_file, "r") as f:
+            config = yaml.safe_load(f)["run"]
+        self.read_config(config, init_file)
+        info("Initialized run [%s] from file %s" % (self.run_id, init_file))
+
+    def initialize(self, init_file):
+        """Full startup: parse config, copy it into the run folder for
+        provenance, initialize datasets, resume if requested
+        (settings_.py:404-444).  Returns the Feeder."""
+        self.initialize_from_file(init_file)
+
+        if os.path.dirname(os.path.abspath(init_file)) != \
+                os.path.abspath(self.run_folder):
+            shutil.copyfile(init_file, os.path.join(
+                self.run_folder, os.path.basename(init_file)))
+
+        if self.train and self.val:
+            error("Cannot specify simultaneous training and validation run.")
+        if not (self.train or self.val):
+            error("Neither training nor validation is enabled.")
+
+        self.tensorboard_folder = os.path.join(
+            self.run_folder, self.tensorboard_folder, self.phase)
+
+        self.feeder.initialize_datasets()
+        self.feeder.set_phase(self.phase)
+
+        if self.should_resume():
+            if self.train:
+                info("Resuming training.")
+                self.train.epoch_index, self.global_step = \
+                    self.feeder.resume_snap(self.resume_file)
+            if self.val:
+                info("Evaluating trained network.")
+        else:
+            if self.train:
+                info("Starting training from scratch.")
+            if self.val:
+                warning("Starting validation-only run with an untrained "
+                        "network.")
+        info("Starting run on folder [%s]." % self.run_folder)
+        return self.feeder

@@ -1,0 +1,412 @@
+"""Runtime dataset reader: batches packed records into model-ready arrays.
+
+TPU-native counterpart of /root/reference/dataset_.py.  Keeps the same
+batching semantics — batch granularity by item (video/image) or by clip
+(dataset_.py:582-613), per-video clips-per-video bookkeeping for video
+record files (dataset_.py:386-420), one-hot labels, captioning label
+framing — while replacing the stateful linear TFRecord iterator with an
+O(1)-seek indexed record reader, so checkpoint resume is positional instead
+of a fast-forward scan (dataset_.py:772-811).
+
+Two preprocessing paths are offered:
+* host path: reference-parity numpy chain (ImageProcessor), used by tools
+  and parity tests;
+* device path: batches stay uint8 + (crop_y, crop_x, mirror) params, and the
+  crop/mean-sub/mirror chain runs jitted on the accelerator
+  (ops/preprocess.py) — the hot-loop default.
+"""
+
+import math
+import os
+import random
+
+import numpy as np
+
+from video_learning_tpu.data import records
+from video_learning_tpu.data.imgproc import ImageProcessor, imresize, \
+    read_image
+from video_learning_tpu.defs import defs
+from video_learning_tpu.utils import (debug, error, info, labels_to_one_hot,
+                                      warning)
+
+
+class Batch:
+    """One model-ready batch.
+
+    visual: float32/uint8 array of frames (N*fpc leading dim, flattened
+            frames-into-batch layout, reference §3.4) or feature vectors.
+    labels: one-hot (num_labeled_items, num_classes) int32.
+    proc_params: (N,3) int32 crop_y/crop_x/mirror when the device path is
+            active, else None.
+    raw_labels: the original per-item label lists (captioning needs them).
+    """
+
+    def __init__(self, visual, labels, proc_params=None, raw_labels=None,
+                 caption=None):
+        self.visual = visual
+        self.labels = labels
+        self.proc_params = proc_params
+        self.raw_labels = raw_labels
+        self.caption = caption  # dict from captions.labels_to_words
+
+
+class Dataset:
+    """Per-dataset state machine (reference dataset_.py:16)."""
+
+    def __init__(self):
+        self.id = None
+        self.path = None
+        self.reader = None
+        self.num_classes = None
+        self.frames = []
+        self.labels = []
+        self.clips_per_video = None
+        self.num_frames_per_clip = None
+        self.frame_format = None
+        self.data_format = None
+        self.input_mode = None
+        self.batch_item = None
+        self.batch_size = None
+        self.batches = None
+        self.batch_index = 0
+        self.epoch_index = 0
+        self.num_items = 0
+        self.video_index = 0
+        self.record_cursor = 0
+        self.tag = None
+        self.read_tries = 1
+        self.prepend_folder = None
+        self.mean_scalars = None
+        self.desired_image_shape = None
+        self.raw_image_shape = None
+        self.imgproc = []
+        self.processor = None
+        self.device_preprocess = False
+        self.rng = random.Random(0)
+        # captioning
+        self.embedding_matrix = None
+        self.vocabulary = None
+        self.max_caption_length = None
+        self.max_sequence_length = None
+        self.include_labels = False
+        self.do_padding = False
+        self.eval_type = None
+        self.captioning_config = None
+
+    # ------------------------------------------------------------ metadata
+    def initialize(self, id, path, mean_image, prepend_folder,
+                   desired_image_shape, imgproc, raw_image_shape, data_format,
+                   frame_format, batch_item, num_classes, tag, read_tries,
+                   captioning_config=None):
+        info("Initializing dataset [%s]" % id)
+        self.id = id
+        self.path = path
+        self.data_format = data_format
+        self.frame_format = frame_format
+        self.prepend_folder = prepend_folder
+        self.mean_scalars = mean_image
+        self.desired_image_shape = desired_image_shape
+        self.imgproc = list(imgproc or [])
+        self.batch_item = batch_item
+        self.raw_image_shape = raw_image_shape
+        self.num_classes = num_classes
+        self.tag = tag
+        self.read_tries = read_tries
+        self.captioning_config = captioning_config
+
+    def read_frames_metadata(self):
+        """Read the path/label list file (dataset_.py:71-84)."""
+        debug("Reading frame metadata from [%s]" % self.path)
+        self.frames, self.labels = [], []
+        with open(self.path, "r") as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                item_path = parts[0]
+                if self.prepend_folder is not None:
+                    item_path = os.path.join(self.prepend_folder, item_path)
+                self.frames.append(item_path)
+                self.labels.append(parts[1:])
+
+    def get_input_data_count(self):
+        """Read the ``.size`` sidecar (dataset_.py:701-756)."""
+        size_file = self.path + ".size"
+        if not os.path.exists(size_file):
+            error("Could not find data size file: %s" % size_file)
+        meta = records.read_size_file(size_file)
+        self.num_items = meta["items"]
+        if meta["type"] != defs.input_mode.vectors:
+            if self.input_mode is not None and meta["type"] != self.input_mode:
+                error("Specified input mode is [%s] but the size file "
+                      "contains [%s]" % (self.input_mode, meta["type"]))
+        else:
+            self.input_mode = defs.input_mode.vectors
+        cpv, fpc = meta["cpi"], meta["fpc"]
+        if (cpv is not None) == (self.input_mode == defs.input_mode.image):
+            error("Read cpi %s but input mode is %s"
+                  % (str(cpv), self.input_mode))
+        self.clips_per_video = cpv
+        self.num_frames_per_clip = fpc
+        loaded_caption_length = meta["labelcount"]
+        if self.max_caption_length is not None:
+            if loaded_caption_length > self.max_caption_length:
+                error("Data contains max caption length %d but the current "
+                      "setting restricts to %d"
+                      % (loaded_caption_length, self.max_caption_length))
+        else:
+            self.max_caption_length = loaded_caption_length
+        self.max_sequence_length = self.max_caption_length + 1
+        info("Read [%s] data, count: %d, fpc: %s, type: %s, lblcount: %d"
+             % (self.id, self.num_items, str(fpc), self.input_mode,
+                self.max_caption_length))
+
+    # ------------------------------------------------------------- batching
+    def calculate_batches(self, batch_size, input_mode):
+        """Open the record file and compute the per-epoch batch plan
+        (dataset_.py:582-613)."""
+        self.batch_size = batch_size
+        self.input_mode = input_mode
+        if not os.path.exists(self.path):
+            error("Dataset path does not exist: %s" % self.path)
+        self.read_frames_metadata()
+        if self.data_format == defs.data_format.tfrecord:
+            self.path += ".tfrecord"
+            if not os.path.exists(self.path):
+                error("Record file path does not exist: %s" % self.path)
+            self.reader = records.RecordReader(self.path)
+        self.get_input_data_count()
+        self.initialize_imgproc()
+        if self.batch_item == defs.batch_item.default:
+            total = self.num_items
+        elif self.batch_item == defs.batch_item.clip:
+            total = sum(self.clips_per_video)
+        else:
+            error("Unknown batch item: %s" % self.batch_item)
+        num_whole = total // self.batch_size
+        left = total - num_whole * self.batch_size
+        self.batches = [self.batch_size] * num_whole
+        if left:
+            self.batches.append(left)
+        self.tell()
+
+    def initialize_imgproc(self):
+        if self.input_mode == defs.input_mode.vectors:
+            if self.imgproc:
+                info("Ignoring imgproc due to input mode [%s]"
+                     % self.input_mode)
+            self.imgproc = []
+            self.processor = None
+            return
+        self.processor = ImageProcessor(self.imgproc, self.raw_image_shape,
+                                        self.desired_image_shape,
+                                        self.mean_scalars)
+
+    # ---------------------------------------------------------- record read
+    def _read_frames(self, count):
+        """Read ``count`` frames at the cursor with bounded-retry corruption
+        recovery (dataset_.py:171-230): CRC-verified re-read on failure,
+        then a manual source-image fallback."""
+        images, labels = [], []
+        for k in range(count):
+            idx = self.record_cursor + k
+            rec = None
+            for attempt in range(max(1, self.read_tries)):
+                try:
+                    rec = self.reader.read_at(idx)
+                    break
+                except Exception as ex:
+                    warning("Read try %d for record %d failed: %s"
+                            % (attempt + 1, idx, ex))
+            if rec is None:
+                rec = self._manually_read_image(idx)
+            _, data, lab = rec
+            images.append(data)
+            labels.append(lab)
+        self.record_cursor += count
+        return images, labels
+
+    def _manually_read_image(self, record_index):
+        """Fallback: re-read the source image from disk
+        (dataset_.py:233-241).  Only possible for image-mode datasets where
+        record order equals the paths-file order."""
+        if self.input_mode != defs.input_mode.image:
+            error("Failed to recover record %d" % record_index)
+        impath = self.frames[record_index]
+        info("Manually reading source image %d: %s" % (record_index, impath))
+        image = read_image(impath)
+        if self.raw_image_shape is not None:
+            image = imresize(image, self.raw_image_shape)
+        label = [int(x) for x in self.labels[record_index]]
+        return records.KIND_IMAGE, image, label
+
+    def _process_images(self, images):
+        """Apply the imgproc chain: host path returns processed float32;
+        device path returns stacked uint8 + per-frame params."""
+        if self.input_mode == defs.input_mode.vectors:
+            return np.stack(images), None
+        if self.device_preprocess:
+            params = self.processor.draw_params(len(images), self.rng)
+            return np.stack(images), params
+        out = [self.processor.process(im, self.rng) for im in images]
+        return np.stack(out).astype(np.float32), None
+
+    # --------------------------------------------------------- batch makers
+    def get_next_batch(self):
+        """Assemble the next batch (dataset_.py:244-274).  Returns Batch."""
+        if self.data_format == defs.data_format.raw:
+            batch = self._next_batch_raw()
+        elif self.input_mode in (defs.input_mode.video,
+                                 defs.input_mode.vectors):
+            batch = self._next_batch_video()
+        elif self.input_mode == defs.input_mode.image:
+            batch = self._next_batch_image()
+        else:
+            error("Unknown input mode %s" % self.input_mode)
+        self.batch_index += 1
+        return batch
+
+    def _next_batch_video(self):
+        """Video/vector records: frames per batch depend on the cpv of the
+        batch's videos (dataset_.py:386-420)."""
+        if self.batch_item == defs.batch_item.default:
+            first = self.batch_index * self.batch_size
+            curr_cpv = self.clips_per_video[first:first + self.batch_size]
+            nframes = sum((self.num_frames_per_clip or 1) * c
+                          for c in curr_cpv)
+            if not nframes:
+                error("Computed 0 frames in next batch.")
+            images, labels_per_frame = self._read_frames(nframes)
+            # one label per clip, taken from each video's first frame
+            fpv = list(np.cumsum([(self.num_frames_per_clip or 1) * c
+                                  for c in curr_cpv]))
+            first_frame = [0] + fpv[:-1]
+            labels = []
+            for vidx, cpv in enumerate(curr_cpv):
+                labels.extend(labels_per_frame[first_frame[vidx]]
+                              for _ in range(cpv))
+        elif self.batch_item == defs.batch_item.clip:
+            clips_left = sum(self.clips_per_video) - \
+                self.batch_index * self.batch_size
+            nclips = min(clips_left, self.batch_size)
+            nframes = nclips * self.num_frames_per_clip
+            images, labels_per_frame = self._read_frames(nframes)
+            labels = labels_per_frame[0::self.num_frames_per_clip]
+        else:
+            error("Unknown batch item %s" % self.batch_item)
+        visual, params = self._process_images(images)
+        onehot = labels_to_one_hot(labels, self.num_classes)
+        return Batch(visual, onehot, params, raw_labels=labels)
+
+    def _next_batch_image(self):
+        count = self.batches[self.batch_index]
+        images, labels = self._read_frames(count)
+        visual, params = self._process_images(images)
+        batch = Batch(visual, labels_to_one_hot(labels, self.num_classes),
+                      params, raw_labels=labels)
+        if self.embedding_matrix is not None:
+            from video_learning_tpu.data import captions
+            batch.caption = captions.labels_to_words(
+                labels, self.embedding_matrix, self.vocabulary,
+                self.num_classes, self.max_sequence_length,
+                self.include_labels, self.do_padding)
+            batch.labels = batch.caption["onehot_labels"]
+        return batch
+
+    def _next_batch_raw(self):
+        """Direct-from-disk reading (dataset_.py:250-263)."""
+        count = self.batches[self.batch_index]
+        start = self.batch_index * self.batch_size
+        images, labels = [], []
+        if self.input_mode == defs.input_mode.video:
+            for videopath in self.frames[start:start + count]:
+                for i in range(self.num_frames_per_clip):
+                    impath = "%s%04d.%s" % (videopath, 1 + i,
+                                            self.frame_format)
+                    images.append(read_image(impath))
+                labels.append([int(x) for x in self.labels[start]])
+        else:
+            for j, impath in enumerate(self.frames[start:start + count]):
+                images.append(read_image(impath))
+                labels.append([int(x) for x in self.labels[start + j]])
+        visual, params = self._process_images(images)
+        return Batch(visual, labels_to_one_hot(labels, self.num_classes),
+                     params, raw_labels=labels)
+
+    # -------------------------------------------------------------- cursors
+    def _cursor_for_batch(self, batch_index):
+        """Absolute record index at the start of ``batch_index`` — O(1)
+        positional restore replacing iterator fast-forward
+        (dataset_.py:772-811)."""
+        if self.data_format != defs.data_format.tfrecord:
+            return 0
+        if self.input_mode == defs.input_mode.image:
+            return min(batch_index * self.batch_size, self.num_items)
+        item_index = batch_index * self.batch_size
+        fpc = self.num_frames_per_clip or 1
+        if self.batch_item == defs.batch_item.default:
+            nclips = sum(self.clips_per_video[:item_index])
+            return nclips * fpc
+        return item_index * fpc
+
+    def restore(self, batch_index, epoch_index):
+        """Checkpoint-resume to a batch position (dataset_.py:534-538)."""
+        self.batch_index = batch_index
+        self.epoch_index = epoch_index
+        self.record_cursor = self._cursor_for_batch(batch_index)
+        if self.reader is not None:
+            self.reader.seek(min(self.record_cursor, len(self.reader)))
+        info("Restored dataset [%s] to batch %d (record %d)"
+             % (self.id, batch_index, self.record_cursor))
+
+    def rewind(self):
+        self.batch_index = 0
+        self.record_cursor = 0
+        self.video_index = 0
+        if self.reader is not None:
+            self.reader.seek(0)
+
+    def loop(self):
+        return self.batch_index < len(self.batches)
+
+    def get_global_batch_step(self):
+        return self.epoch_index * len(self.batches) + self.batch_index
+
+    def compute_dataset_portion(self, freq_per_epoch, epochs):
+        """Save cadence from save_freq_per_epoch (dataset_.py:562-568)."""
+        save_interval = math.ceil(len(self.batches) / freq_per_epoch)
+        num_saves = math.ceil(freq_per_epoch * epochs)
+        info("Computed save interval to %d batches and %d total saves"
+             % (save_interval, num_saves))
+        return save_interval, num_saves
+
+    def single_clip(self):
+        if isinstance(self.clips_per_video, int):
+            return self.clips_per_video == 1
+        return False
+
+    def get_image_shape(self):
+        if self.desired_image_shape is None:
+            return self.raw_image_shape
+        return self.desired_image_shape
+
+    def get_embedding_dim(self):
+        return int(self.embedding_matrix.shape[-1])
+
+    def validation_logits_to_captions(self, logits, start_index=0):
+        from video_learning_tpu.data import captions
+        return captions.validation_logits_to_captions(
+            logits, self.path, self.vocabulary, self.eval_type, start_index)
+
+    def tell(self):
+        """Pretty status line (dataset_.py:814-825)."""
+        items = self.num_items
+        clips = 0 if self.clips_per_video is None else \
+            sum(self.clips_per_video)
+        frames = items if self.num_frames_per_clip is None else \
+            clips * self.num_frames_per_clip
+        info("Dataset[%s] bmode:%s tag:%s items:%d clips:%d frames:%d "
+             "b-size:%s b-num:%d b-index:%d imgproc:%s"
+             % (self.id, self.batch_item, self.tag, items, clips, frames,
+                self.batch_size, len(self.batches or []), self.batch_index,
+                defs.imgproc_to_str(self.imgproc)))

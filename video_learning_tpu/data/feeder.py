@@ -1,0 +1,223 @@
+"""Feeder: multi-dataset coordinator + checkpoint/resume orchestration.
+
+Counterpart of /root/reference/feeder.py.  Coordinates datasets keyed by
+phase and dataset tag (main/aux), matches each model input requirement
+``(name, net_input_type, tag)`` to the right dataset's batch
+(feeder.py:84-106), computes the save cadence from ``save_freq_per_epoch``
+(feeder.py:123-129), and orchestrates two-part checkpoints: a parameter
+checkpoint (handled by checkpoint.py) plus a ``.snap`` training-position
+sidecar [batch_index, epoch_index, global_step] (feeder.py:263-288), with
+``latest``-checkpoint resolution (feeder.py:143-194).
+
+Graph feed_dicts are replaced by plain dicts of numpy arrays consumed by the
+jitted train/eval step functions.
+"""
+
+import os
+import pickle
+
+from video_learning_tpu.data import dataset as dataset_mod
+from video_learning_tpu.defs import defs
+from video_learning_tpu.utils import (debug, error, get_datetime_str,
+                                      get_run_checkpoints, info, warning)
+
+
+class Feeder:
+
+    def __init__(self, input_mode, phases, trainval, save_freq_per_epoch,
+                 run_folder, resume):
+        self.datasets = {}
+        self.input_mode = input_mode
+        self.phases = phases
+        self.phase = None
+        self.run_folder = run_folder
+        self.resume = resume
+        self.train, self.val = trainval
+        self.save_freq_per_epoch = save_freq_per_epoch
+        self.save_interval = -1
+        self.num_saves = 0
+
+    # -------------------------------------------------------------- set-up
+    def add_dataset(self, dataset_phase, id, path, mean_image, prepend_folder,
+                    image_shape, imgproc, raw_image_shape, data_format,
+                    frame_format, batch_item, num_classes, tag, read_tries,
+                    captioning_config=None):
+        dset = dataset_mod.Dataset()
+        self.datasets.setdefault(dataset_phase, []).append(dset)
+        dset.initialize(id, path, mean_image, prepend_folder, image_shape,
+                        imgproc, raw_image_shape, data_format, frame_format,
+                        batch_item, num_classes, tag, read_tries,
+                        captioning_config)
+
+    def set_phase(self, phase):
+        self.phase = phase
+
+    def initialize_datasets(self):
+        if not self.datasets:
+            error("No dataset configured to active phase [%s]" % self.phase)
+        for phase in self.phases:
+            for i, dset in enumerate(self.datasets.get(phase, [])):
+                info("Reading dataset %d/%d : [%s]"
+                     % (i + 1, len(self.datasets[phase]), dset.id))
+                if defs.phase.train in self.phases and self.train:
+                    dset.calculate_batches(self.train.batch_size,
+                                           self.input_mode)
+                elif defs.phase.val in self.phases and self.val:
+                    dset.calculate_batches(self.val.batch_size,
+                                           self.input_mode)
+
+    # ------------------------------------------------------------ iteration
+    def loop(self):
+        return self.datasets[self.phase][0].loop()
+
+    def get_dataset_by_tag(self, tag):
+        return [d for d in self.datasets[self.phase] if d.tag == tag]
+
+    def get_num_batches(self):
+        if not self.datasets:
+            return -1
+        return len(self.datasets[self.phase][0].batches)
+
+    def get_batch_index(self):
+        return self.datasets[self.phase][0].batch_index
+
+    def get_batch_sizes(self):
+        return [d.batch_size for d in self.datasets[self.phase]]
+
+    def get_datasets(self):
+        return self.datasets[self.phase]
+
+    def rewind_datasets(self):
+        for dset in self.datasets[self.phase]:
+            dset.rewind()
+
+    def get_next_batch(self):
+        """Advance every active dataset one batch; returns
+        {tag: Batch} (reference feeder.py:74-81)."""
+        out = {}
+        for dset in self.datasets[self.phase]:
+            if dset.tag in out:
+                error("Multiple datasets with tag [%s] in phase [%s]"
+                      % (dset.tag, self.phase))
+            out[dset.tag] = dset.get_next_batch()
+        return out
+
+    def get_feed(self, required_input):
+        """Build the model/step input dict by matching each requirement
+        ``(name, net_input_type, tag)`` to the tagged dataset's batch
+        (reference feeder.py:84-106).  Returns (feed dict, batches dict)."""
+        batches = self.get_next_batch()
+        feed = {}
+        num_labels = None
+        for name, itype, itag in required_input:
+            if itag not in batches:
+                error("No dataset with tag [%s] for required input [%s]"
+                      % (itag, name))
+            batch = batches[itag]
+            if itype == defs.net_input.visual:
+                feed[name] = batch.visual
+                if batch.proc_params is not None:
+                    feed[name + "/proc_params"] = batch.proc_params
+            elif itype == defs.net_input.labels:
+                feed[name] = batch.labels
+                num_labels = len(batch.labels)
+            else:
+                error("Unknown net input type [%s]" % itype)
+        if num_labels is None and any(
+                t == defs.net_input.labels for _, t, _ in required_input):
+            error("Unset num labels in feed!")
+        return feed, batches
+
+    # ------------------------------------------------------------- cadence
+    def compute_save_interval(self):
+        if not self.train:
+            self.save_interval, self.num_saves = -1, 0
+            return
+        for dset in self.datasets[self.phase]:
+            self.save_interval, self.num_saves = dset.compute_dataset_portion(
+                self.save_freq_per_epoch, self.train.epochs)
+
+    def should_save(self, step):
+        if self.save_interval < 0 or self.phase == defs.phase.val:
+            return False
+        return step % self.save_interval == 0
+
+    # ------------------------------------------------------ save / restore
+    def _resolve_checkpoint(self, resume_file):
+        """Resolve 'latest' to the newest checkpoint in the run folder
+        (reference feeder.py:146-160)."""
+        if resume_file == defs.names.latest_savefile:
+            ckpts = get_run_checkpoints(self.run_folder)
+            if not ckpts:
+                error("Resume requested but no checkpoints in %s"
+                      % self.run_folder)
+            return ckpts[-1]
+        return resume_file
+
+    def resume_snap(self, resume_file):
+        """Restore dataset positions + global step from the ``.snap``
+        sidecar (reference feeder.py:143-194).  Returns (epoch, step)."""
+        if not self.resume:
+            return 0, 0
+        ckpt = self._resolve_checkpoint(resume_file)
+        snap_path = ckpt + ".snap"
+        info("Resuming training position from [%s]" % snap_path)
+        if not os.path.exists(snap_path):
+            error("Snapshot savefile does not exist: %s" % snap_path)
+        with open(snap_path, "rb") as f:
+            params = pickle.load(f)
+        batch_info, epoch, global_step = params[0], params[1], params[2]
+        for dset in self.get_datasets():
+            idx = batch_info.get(dset.tag, 0) \
+                if isinstance(batch_info, dict) else batch_info
+            dset.restore(idx, epoch)
+        info("Restored snapshot of epoch %d, batch %s, global step %d"
+             % (epoch + 1, str(batch_info), global_step))
+        return epoch, global_step
+
+    def save(self, state, progress, global_step):
+        """Save a parameter checkpoint + ``.snap`` position sidecar
+        (reference feeder.py:263-288).  ``state`` is the TrainState pytree
+        handled by checkpoint.py."""
+        from video_learning_tpu import checkpoint as ckpt_mod
+        folder = os.path.join(self.run_folder, "checkpoints")
+        os.makedirs(folder, exist_ok=True)
+        base = os.path.join(folder,
+                            "%s_%s.ckpt" % (get_datetime_str(), progress))
+        info("Saving checkpoint to [%s]" % base)
+        ckpt_mod.save_checkpoint(base, state)
+        snap = [self.get_batch_index(),
+                self.train.epoch_index if self.train else 0, global_step]
+        with open(base + ".snap", "wb") as f:
+            pickle.dump(snap, f)
+        self._prune_checkpoints()
+        return base
+
+    def _prune_checkpoints(self):
+        """Keep at most num_saves checkpoints (Saver max_to_keep semantics,
+        reference feeder.py:201)."""
+        if self.num_saves <= 0:
+            return
+        ckpts = get_run_checkpoints(self.run_folder)
+        excess = len(ckpts) - self.num_saves
+        for path in ckpts[:max(0, excess)]:
+            from video_learning_tpu import checkpoint as ckpt_mod
+            ckpt_mod.delete_checkpoint(path)
+
+    def init_saveload(self, state, resume_file, ignorable_variable_names):
+        """Compute save cadence and, when resuming, load the parameter
+        checkpoint into ``state`` with name diffing against the current
+        model (reference feeder.py:198-257).  Returns the (possibly
+        restored) state."""
+        from video_learning_tpu import checkpoint as ckpt_mod
+        self.compute_save_interval()
+        if not self.resume:
+            return state
+        ckpt = self._resolve_checkpoint(resume_file)
+        info("Resuming parameters from: [%s]" % ckpt)
+        if not os.path.exists(ckpt):
+            error("Checkpoint does not exist: %s" % ckpt)
+        ignorables = list(ignorable_variable_names or [])
+        if self.val:
+            ignorables.append(defs.names.global_step)
+        return ckpt_mod.restore_checkpoint(ckpt, state, ignorables)
