@@ -1,0 +1,227 @@
+"""Model-layer tests: LSTM cell/scan parity vs a numpy step-by-step
+reference, AlexNet geometry + LRN numerics, fusion ops, audionet, and the
+pipeline DAG builder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_learning_tpu.defs import defs
+from video_learning_tpu.models import alexnet, audionet
+from video_learning_tpu.models import lstm as lstm_mod
+from video_learning_tpu.models.layers import (fc_apply, fc_init,
+                                              local_response_normalization,
+                                              max_pool)
+from video_learning_tpu.ops import fusion
+
+
+# -------------------------------------------------------------------- LSTM
+def _np_sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _np_lstm_reference(params, x, lengths=None, init_state=None):
+    """Step-by-step numpy BasicLSTMCell stack (TF semantics: gates i,j,f,o;
+    forget_bias=1.0) to validate the scan implementation."""
+    B, T, _ = x.shape
+    num_layers = len(params["cells"])
+    H = params["cells"][0]["b"].shape[0] // 4
+    states = []
+    for _ in range(num_layers):
+        if init_state is not None:
+            states.append([np.array(init_state), np.array(init_state)])
+        else:
+            states.append([np.zeros((B, H)), np.zeros((B, H))])
+    seq = np.array(x)
+    for l, layer in enumerate(params["cells"]):
+        w = np.array(layer["w"])
+        b = np.array(layer["b"])
+        d = seq.shape[-1]
+        outs = np.zeros((B, T, H))
+        c, h = states[l]
+        for t in range(T):
+            gates = seq[:, t, :] @ w[:d] + h @ w[d:] + b
+            i, j, f, o = np.split(gates, 4, axis=-1)
+            new_c = c * _np_sigmoid(f + 1.0) + _np_sigmoid(i) * np.tanh(j)
+            new_h = np.tanh(new_c) * _np_sigmoid(o)
+            if lengths is not None:
+                m = (t < lengths).astype(np.float64)[:, None]
+                new_c = np.where(m > 0, new_c, c)
+                new_h_keep = np.where(m > 0, new_h, h)
+                outs[:, t, :] = new_h * m
+                c, h = new_c, new_h_keep
+            else:
+                outs[:, t, :] = new_h
+                c, h = new_c, new_h
+        states[l] = [c, h]
+        seq = outs
+    return seq, states
+
+
+def test_lstm_scan_matches_manual_loop():
+    rng = jax.random.PRNGKey(0)
+    B, T, D, H = 3, 5, 4, 6
+    params = lstm_mod.init(rng, D, H, 2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B * T, D))
+    out, states = lstm_mod.evaluate_sequence(params, x, H, T)
+    ref_out, ref_states = _np_lstm_reference(params,
+                                             np.array(x).reshape(B, T, D))
+    assert np.allclose(out, ref_out, atol=1e-5)
+    assert np.allclose(states[-1][1], ref_states[-1][1], atol=1e-5)
+
+
+def test_lstm_length_masking():
+    rng = jax.random.PRNGKey(0)
+    B, T, D, H = 3, 6, 4, 5
+    params = lstm_mod.init(rng, D, H, 1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (B * T, D))
+    lengths = jnp.array([6, 3, 1])
+    out, states = lstm_mod.evaluate_sequence(params, x, H, T,
+                                             lengths=lengths)
+    ref_out, ref_states = _np_lstm_reference(
+        params, np.array(x).reshape(B, T, D), lengths=np.array(lengths))
+    assert np.allclose(out, ref_out, atol=1e-5)
+    # outputs past length are zero (dynamic_rnn semantics)
+    assert np.allclose(out[1, 3:, :], 0.0)
+    assert np.allclose(states[-1][1], ref_states[-1][1], atol=1e-5)
+
+
+def test_lstm_initial_state():
+    rng = jax.random.PRNGKey(0)
+    B, T, D, H = 2, 4, 3, 5
+    params = lstm_mod.init(rng, D, H, 2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B * T, D))
+    s0 = jax.random.normal(jax.random.PRNGKey(4), (B, H))
+    out, _ = lstm_mod.evaluate_sequence(params, x, H, T, init_state=s0)
+    ref_out, _ = _np_lstm_reference(params, np.array(x).reshape(B, T, D),
+                                    init_state=np.array(s0))
+    assert np.allclose(out, ref_out, atol=1e-5)
+
+
+def test_greedy_decode_shapes_and_feedback():
+    rng = jax.random.PRNGKey(0)
+    V, E, H, B, T = 11, 7, 8, 3, 5
+    params = lstm_mod.init(rng, E, H, 1)
+    out_fc = fc_init(jax.random.PRNGKey(1), H, V)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (V, E))
+    visual = jax.random.normal(jax.random.PRNGKey(3), (B, H))
+    idx = lstm_mod.greedy_decode(params, out_fc, visual, emb, 0, T, H,
+                                 defs.rnn_visual_mode.state_bias)
+    assert idx.shape == (B, T)
+    assert idx.dtype in (jnp.int32, jnp.int64)
+    assert np.all(np.array(idx) >= 0) and np.all(np.array(idx) < V)
+    # different visuals should (generically) decode different captions
+    visual2 = visual + 10.0
+    idx2 = lstm_mod.greedy_decode(params, out_fc, visual2, emb, 0, T, H,
+                                  defs.rnn_visual_mode.state_bias)
+    assert not np.array_equal(np.array(idx), np.array(idx2))
+
+
+# -------------------------------------------------------------------- LRN
+def test_lrn_matches_manual():
+    x = np.random.RandomState(0).randn(2, 3, 3, 8).astype(np.float32)
+    out = np.array(local_response_normalization(jnp.asarray(x)))
+    # manual per-position computation
+    r, bias, alpha, beta = 2, 1.0, 2e-5, 0.75
+    ref = np.zeros_like(x)
+    C = x.shape[-1]
+    for c in range(C):
+        lo, hi = max(0, c - r), min(C, c + r + 1)
+        s = np.sum(x[..., lo:hi] ** 2, axis=-1)
+        ref[..., c] = x[..., c] / (bias + alpha * s) ** beta
+    assert np.allclose(out, ref, atol=1e-5)
+
+
+# ----------------------------------------------------------------- alexnet
+def test_alexnet_geometry_227():
+    params = alexnet.init(jax.random.PRNGKey(0), 10, "prob")
+    x = jnp.zeros((2, 227, 227, 3))
+    fc7 = alexnet.apply(params, x, "fc7")
+    assert fc7.shape == (2, 4096)
+    logits = alexnet.apply(params, x, "prob")
+    assert logits.shape == (2, 10)
+    assert alexnet.conv_output_flat_dim((227, 227, 3)) == 9216
+
+
+def test_alexnet_param_groups():
+    params = alexnet.init(jax.random.PRNGKey(0), 10, "prob")
+    reg, mod = alexnet.param_groups(params)
+    assert any("fc8" in m for m in mod)
+    assert all("fc8" not in r for r in reg)
+    assert any("conv1" in r for r in reg)
+
+
+def test_alexnet_small_input():
+    shape = (67, 67, 3)
+    fc6_in = alexnet.conv_output_flat_dim(shape)
+    params = alexnet.init(jax.random.PRNGKey(0), 5, "fc6", fc6_in=fc6_in)
+    out = alexnet.apply(params, jnp.zeros((3,) + shape), "fc6")
+    assert out.shape == (3, 4096)
+
+
+def test_max_pool_valid():
+    x = jnp.arange(2 * 7 * 7 * 1, dtype=jnp.float32).reshape(2, 7, 7, 1)
+    y = max_pool(x, (3, 3), (2, 2), "VALID")
+    assert y.shape == (2, 3, 3, 1)
+    assert float(y[0, 0, 0, 0]) == float(jnp.max(x[0, :3, :3, 0]))
+
+
+# ---------------------------------------------------------------- audionet
+def test_audionet_shapes():
+    params = audionet.init(jax.random.PRNGKey(0), (64, 48, 3), 7)
+    out = audionet.apply(params, jnp.zeros((4, 64, 48, 3)))
+    assert out.shape == (4, 7)
+    reg, mod = audionet.param_groups(params)
+    assert reg == [] and len(mod) == 4
+
+
+# ------------------------------------------------------------------ fusion
+def test_temporal_fusion_methods():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 3))
+    last = fusion.apply_temporal_fusion(x, 3, 4, defs.fusion_method.last)
+    assert np.allclose(last, x[:, -1, :])
+    avg = fusion.apply_temporal_fusion(x, 3, 4, defs.fusion_method.avg)
+    assert np.allclose(avg, np.mean(np.array(x), axis=1))
+    rs = fusion.apply_temporal_fusion(x, 3, 4, defs.fusion_method.reshape)
+    assert rs.shape == (8, 3)
+
+
+def test_aggregate_clip_vectors():
+    x = jnp.arange(24, dtype=jnp.float32).reshape(8, 3)  # 2 clips x 4 fpc
+    out = fusion.aggregate_clip_vectors(x, 3, 4, defs.fusion_method.avg)
+    assert out.shape == (2, 3)
+    assert np.allclose(out[0], np.mean(np.arange(12).reshape(4, 3), axis=0))
+
+
+def test_input_fusion_ibias():
+    main = jnp.ones((2 * 4, 3))       # 2 clips, fpc 4, dim 3
+    aux = jnp.zeros((2, 3))           # one aux vector per clip
+    out, dim, fpc, cpv = fusion.apply_tensor_list_fusion(
+        [main, aux], defs.fusion_method.ibias, [3, 3], [4, 1], [1, 1])
+    assert out.shape == (2 * 5, 3)    # fpc 4 + 1 bias step
+    assert fpc == 5
+    out5 = np.array(out).reshape(2, 5, 3)
+    assert np.allclose(out5[:, 0, :], 0.0)   # aux first
+    assert np.allclose(out5[:, 1:, :], 1.0)
+
+
+def test_input_fusion_avg_max_concat():
+    a = jnp.ones((4, 3))
+    b = jnp.full((4, 3), 3.0)
+    avg, dim, _, _ = fusion.apply_tensor_list_fusion(
+        [a, b], defs.fusion_method.avg, [3, 3], [1, 1], [1, 1])
+    assert np.allclose(avg, 2.0)
+    mx, _, _, _ = fusion.apply_tensor_list_fusion(
+        [a, b], defs.fusion_method.maximum, [3, 3], [1, 1], [1, 1])
+    assert np.allclose(mx, 3.0)
+    cat, dim, _, _ = fusion.apply_tensor_list_fusion(
+        [a, b], defs.fusion_method.concat, [3, 3], [1, 1], [1, 1])
+    assert cat.shape == (4, 6) and dim == 6
+
+
+def test_replicate_auxiliary():
+    aux = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+    out = fusion.replicate_auxiliary_tensor(aux, 2, 4, 2)
+    assert out.shape == (4, 2)
+    assert np.allclose(out[:2], aux) and np.allclose(out[2:], aux)

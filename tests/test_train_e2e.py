@@ -1,0 +1,168 @@
+"""End-to-end training/validation through the run_task CLI driver on a
+packed tiny video dataset: loss decreases, checkpoints + snap sidecars are
+written, resume restores position, validation writes an accuracy file."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from video_learning_tpu.data import serialize as ser
+
+
+def _pack(tmp_path, tree, fpc=4, cpv=2):
+    cfg = {"serialize": {
+        "output_folder": None, "path_prepend_folder": None,
+        "input_files": [str(tree)], "run_id": "packrun",
+        "num_threads": 2, "num_items_per_thread": 8,
+        "raw_image_shape": "(112, 112, 3)", "clip_offset_or_num": cpv,
+        "num_frames_per_clip": fpc,
+        "clipframe_mode": "defs.clipframe_mode.rand_clips",
+        "generation_error": "defs.generation_error.compromise",
+        "do_shuffle": False, "do_serialize": True, "do_validate": False,
+        "validate_pcnt": 100, "frame_format": "jpg",
+        "logging_level": "logging.INFO", "seed": 11}}
+    p = tmp_path / "pack.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    ser.main(["serialize", str(p)])
+
+
+def _run_config(tmp_path, tree, phase="train", resume=None,
+                batch_item="default", epochs=2):
+    run_folder = tmp_path / "run"
+    cfg = {"run": {
+        "resume_file": resume,
+        "run_folder": str(run_folder),
+        "run_id": "e2e",
+        "seed": 3,
+        "mesh_shape": {"data": 1},
+        "compute_dtype": "float32",
+        "phase": "defs.phase.%s" % phase,
+        "data": {
+            "tinyvid": {
+                "data_path": str(tree),
+                "raw_image_shape": "(112, 112, 3)",
+                "image_shape": "(96, 96, 3)",
+                "mean_image": [99.2, 105.3, 109.5],
+                "data_format": "defs.data_format.tfrecord",
+                "frame_format": "jpg",
+                "imgproc": ["defs.imgproc.center_crop",
+                            "defs.imgproc.sub_mean"],
+                "batch_item": "defs.batch_item.%s" % batch_item,
+                "phase": "defs.phase.%s" % phase,
+                "tag": "defs.dataset_tag.main"}},
+        "network": {
+            "num_classes": 3,
+            "pipelines": [
+                {"frames": {
+                    "input": "defs.dataset_tag.main",
+                    "representation": "defs.representation.dcnn",
+                    "frame_encoding_layer": "fc6"}},
+                {"clf": {
+                    "input": "frames",
+                    "representation": "defs.representation.nop",
+                    "classifier": "defs.classifier.lstm",
+                    "lstm_params": [32, 1, "defs.fusion_method.avg"]}}]},
+        "train": {
+            "batch_size": 2, "epochs": epochs,
+            "optimizer": "defs.optim.sgd", "base_lr": 0.01,
+            "lr_mult": 2.0,
+            "lr_decay": "[defs.decay.exp, defs.periodicity.drops, 2, 0.9]",
+            "clip_norm": 10, "dropout_keep_prob": 0.5},
+        "val": {
+            "batch_size": 2, "logits_save_interval": -1,
+            "clip_fusion": "[defs.fusion_type.late, defs.fusion_method.avg]"},
+        "logging": {
+            "save_freq_per_epoch": 1, "level": "logging.INFO",
+            "print_tensors": False, "tensorboard_folder": "tb",
+            "email_notify": None},
+    }}
+    p = tmp_path / ("run_%s.yml" % phase)
+    p.write_text(yaml.safe_dump(cfg))
+    return p, run_folder
+
+
+@pytest.fixture(scope="module")
+def packed_tree(tmp_path_factory):
+    from tests.conftest import make_image
+    from PIL import Image
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    vids = []
+    for v in range(3):
+        vdir = tmp_path / ("vid%d" % v)
+        vdir.mkdir()
+        for i in range(12):
+            Image.fromarray(make_image(112, 112, seed=v * 50 + i)).save(
+                vdir / ("f_%04d.jpg" % i), quality=95)
+        vids.append(vdir)
+    tree = tmp_path / "videos.train"
+    tree.write_text("\n".join("%s %d" % (v, i)
+                              for i, v in enumerate(vids)) + "\n")
+    _pack(tmp_path, tree)
+    return tmp_path, tree
+
+
+def test_train_and_validate_e2e(packed_tree):
+    from video_learning_tpu import run_task
+    tmp_path, tree = packed_tree
+    cfg, run_folder = _run_config(tmp_path, tree, "train")
+    run_task.main(str(cfg))
+
+    # checkpoints + snap written
+    ckpts = [f for f in os.listdir(run_folder / "checkpoints")
+             if f.endswith(".ckpt")]
+    assert ckpts
+    snap = [f for f in os.listdir(run_folder / "checkpoints")
+            if f.endswith(".snap")]
+    assert snap
+    # lr schedule file
+    assert any("lr_decay_schedule" in f for f in os.listdir(run_folder))
+    # metrics written, loss finite
+    tb = run_folder / "tb" / "train"
+    metrics_files = list(tb.glob("metrics_*.jsonl"))
+    assert metrics_files
+    import json
+    lines = [json.loads(l) for l in open(metrics_files[0])]
+    assert len(lines) == 4  # 2 epochs x 2 batches
+    assert all(np.isfinite(l["loss"]) for l in lines)
+    assert lines[0]["lr"] == pytest.approx(0.01)
+    assert lines[-1]["lr"] < 0.01  # decayed
+
+    # ---- validation run resuming the final checkpoint
+    vcfg, vrun = _run_config(tmp_path, tree, "val", resume="latest")
+    # val run uses the same run folder to find checkpoints
+    text = vcfg.read_text().replace(str(vrun), str(run_folder))
+    vcfg.write_text(text)
+    run_task.main(str(vcfg))
+    accf = [f for f in os.listdir(run_folder) if f.startswith("accuracy_")]
+    assert accf
+    acc = float((run_folder / accf[0]).read_text())
+    assert 0.0 <= acc <= 1.0
+    # logits chunks persisted (.total since interval=-1)
+    assert any(f.startswith("validation_logits_") and f.endswith(".total")
+               for f in os.listdir(run_folder))
+
+
+def test_resume_training(packed_tree):
+    from video_learning_tpu import run_task
+    tmp_path, tree = packed_tree
+    cfg, run_folder = _run_config(tmp_path, tree, "train", epochs=1)
+    # fresh run folder for this test
+    import shutil
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+    run_task.main(str(cfg))
+    ckpt_dir = run_folder / "checkpoints"
+    first_ckpts = sorted(ckpt_dir.glob("*.ckpt"))
+    assert first_ckpts
+    # resume for one more epoch
+    cfg2, _ = _run_config(tmp_path, tree, "train", resume="latest",
+                          epochs=2)
+    run_task.main(str(cfg2))
+    latest = max(ckpt_dir.glob("*.snap"), key=os.path.getmtime)
+    with open(latest, "rb") as f:
+        batch_idx, epoch_idx, gstep = pickle.load(f)
+    assert gstep == 4  # 2 epochs x 2 batches total
+    assert epoch_idx == 1

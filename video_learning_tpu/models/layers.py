@@ -1,0 +1,129 @@
+"""Shared functional layers: parameter init + apply for FC / conv / LRN.
+
+Initialization specs follow the reference so fresh layers train with the
+same statistics (truncated normal std 0.05, bias 0.1 for FC layers —
+tf_util.py:32-60; truncated normal (0.0, 0.1) / zero bias for conv helpers
+— tf_util.py:80-97).  Matmuls/convs run through the MXU in the configured
+compute dtype with float32 accumulation (preferred_element_type).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_learning_tpu.utils import error
+
+
+def truncated_normal(rng, shape, stddev=0.05, mean=0.0):
+    """TF-style truncated normal: values beyond 2 std are re-drawn."""
+    return mean + stddev * jax.random.truncated_normal(
+        rng, -2.0, 2.0, shape, dtype=jnp.float32)
+
+
+# ------------------------------------------------------------------- dense
+def fc_init(rng, in_dim, out_dim, w_stddev=0.05, bias=0.1):
+    """FC params (reference tf_util.py:42-49 init spec)."""
+    return {"w": truncated_normal(rng, (in_dim, out_dim), w_stddev),
+            "b": jnp.full((out_dim,), bias, jnp.float32)}
+
+
+def fc_apply(params, x, compute_dtype=None):
+    """x @ w + b with f32 accumulation on the MXU."""
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y + b.astype(jnp.float32)
+
+
+def convert_dim_fc_init(rng, in_dim, out_dim):
+    """Init a dim-converting FC only when dims differ
+    (reference tf_util.py:32-60 returns the input unchanged otherwise)."""
+    if in_dim == out_dim:
+        return None
+    return fc_init(rng, in_dim, out_dim)
+
+
+def convert_dim_fc_apply(params, x, compute_dtype=None):
+    if params is None:
+        return x
+    return fc_apply(params, x, compute_dtype)
+
+
+# -------------------------------------------------------------------- conv
+def conv_init(rng, kernel_params, init_w=(0.0, 0.1), bias=0.0):
+    """Conv params, HWIO layout (reference tf_util.py:91-93 init spec)."""
+    return {"w": truncated_normal(rng, tuple(kernel_params), init_w[1],
+                                  init_w[0]),
+            "b": jnp.full((kernel_params[-1],), bias, jnp.float32)}
+
+
+def conv_apply(params, x, strides, padding, groups=1, relu=True,
+               compute_dtype=None):
+    """NHWC conv with optional grouped channels (AlexNet's group=2 split,
+    reference models/alexnet/alexnet.py:15-31, expressed natively via XLA's
+    feature_group_count instead of split/concat)."""
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=tuple(strides), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+    y = y + b.astype(jnp.float32)
+    return jax.nn.relu(y) if relu else y
+
+
+def max_pool(x, window, strides, padding):
+    """NHWC max pool (reference tf_util.py:66-78)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, window[0], window[1], 1),
+        window_strides=(1, strides[0], strides[1], 1),
+        padding=padding)
+
+
+# --------------------------------------------------------------------- LRN
+def local_response_normalization(x, depth_radius=2, bias=1.0, alpha=2e-5,
+                                 beta=0.75):
+    """AlexNet local response normalization over channels, matching
+    tf.nn.local_response_normalization semantics
+    (reference models/alexnet/alexnet.py:85-89):
+      out = x / (bias + alpha * sum_{d-r..d+r} x_d^2) ** beta.
+
+    Implemented as a channel-padded sliding sum — (2r+1) adds the compiler
+    fuses with the surrounding elementwise ops; channel counts here are
+    small (96/256) so this is VPU-bound and cheap."""
+    sq = jnp.square(x)
+    pad = [(0, 0)] * (x.ndim - 1) + [(depth_radius, depth_radius)]
+    sq = jnp.pad(sq, pad)
+    c = x.shape[-1]
+    acc = sq[..., 0:c]
+    for i in range(1, 2 * depth_radius + 1):
+        acc = acc + sq[..., i:i + c]
+    return x / jnp.power(bias + alpha * acc, beta)
+
+
+# ----------------------------------------------------------------- dropout
+def dropout(rng, x, keep_prob):
+    """TF-style dropout: scale kept units by 1/keep_prob
+    (reference models/lstm/lstm.py:50-56 applies when keep_prob > 0)."""
+    if keep_prob is None or keep_prob <= 0 or keep_prob >= 1:
+        return x
+    if rng is None:
+        error("dropout requires an rng in training mode")
+    mask = jax.random.bernoulli(rng, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, 0.0)
+
+
+# ------------------------------------------------------------------- misc
+def vectorize(x, depth_dim):
+    """Flatten trailing dims (reference tf_util.py:62-63)."""
+    return jnp.reshape(x, (-1, depth_dim))
+
+
+def flat_dim(shape):
+    return int(np.prod([int(s) for s in shape]))

@@ -1,0 +1,405 @@
+"""Model: interprets the config's ordered pipelines DAG into a functional
+(init_params, apply) pair.
+
+Counterpart of /root/reference/models/model.py:18-175.  Semantics preserved:
+
+* pipelines are built in config order; each pipeline's ``input`` entries are
+  either dataset tags (a model input is created, with shape/cpv/fpc pulled
+  from the tagged dataset — model.py:41-66) or the outputs of previously
+  built pipelines (model.py:43-46),
+* optional multi-input fusion avg/maximum/concat/ibias (model.py:73-76),
+* representation: DCNN (AlexNet with frame_encoding_layer truncation) / FC
+  / NOP (model.py:84-97),
+* early fusion aggregates fpc frame vectors before classification
+  (model.py:103-106); late fusion aggregates per-frame logits after
+  (model.py:149-151),
+* classifier FC (dim-converting) or LSTM; a second pipeline input becomes
+  the LSTM initial state (encoder-decoder composition, model.py:128-134);
+  ``fusion_method.state`` returns the final hidden state (model.py:137-139),
+* shape/cpv/fpc metadata flows between pipelines so temporal fusion sizes
+  are static compile-time constants (model.py:111,153),
+* the final logits are the last pipeline's output (model.py:157-162).
+
+Captioning composition: when the main dataset carries captioning metadata,
+an LSTM-classifier pipeline becomes a captioner — visual encodings condition
+the LSTM (state_bias via initial state / ibias via prepended timestep) and
+word embeddings stream in as an extra input; in val phase the same
+parameters drive a batched greedy decode (see models/lstm.py).
+
+Instead of TF placeholders, the Model publishes ``required_input``:
+``(input_key, net_input_type, dataset_tag)`` triples the Feeder matches to
+batches (reference model.py:55 + feeder.py:84-106).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_learning_tpu.defs import defs
+from video_learning_tpu.models import alexnet, audionet
+from video_learning_tpu.models import lstm as lstm_mod
+from video_learning_tpu.models.layers import (convert_dim_fc_apply,
+                                              convert_dim_fc_init, dropout,
+                                              fc_apply, fc_init)
+from video_learning_tpu.ops import fusion
+from video_learning_tpu.utils import debug, error, info, warning
+
+
+class _InputSource:
+    """Resolved origin of one pipeline input: a dataset tag or a previously
+    built pipeline."""
+
+    def __init__(self, kind, name, shape, cpv, fpc, dim):
+        self.kind = kind        # "dataset" | "pipeline"
+        self.name = name
+        self.shape = shape
+        self.cpv = cpv
+        self.fpc = fpc
+        self.dim = dim
+
+
+def _dataset_cpv(dataset):
+    cpv = dataset.clips_per_video
+    if cpv is None:
+        return 1
+    if isinstance(cpv, int):
+        return cpv
+    if not all(cpv[0] == c for c in cpv):
+        warning("Non-equal clips per item; using the first (%d)" % cpv[0])
+    return cpv[0]
+
+
+class Model:
+
+    def __init__(self, settings):
+        self.settings = settings
+        self.num_classes = settings.num_classes
+        self.compute_dtype = (jnp.bfloat16
+                              if settings.compute_dtype == "bfloat16"
+                              else jnp.float32)
+        self.required_input = []
+        self.pipeline_meta = {}     # name -> dict(dim, cpv, fpc, caption)
+        self.specs = []             # build order
+        self._ignorables = []
+        self.caption_dataset = None
+        self._resolve()
+
+    # ------------------------------------------------------------- resolve
+    def _dataset_by_tag(self, tag):
+        dsets = self.settings.feeder.get_dataset_by_tag(tag)
+        if not dsets:
+            error("Could not find a dataset with tag [%s]" % tag)
+        return dsets[0]
+
+    def _resolve(self):
+        """Static pass: resolve every pipeline's inputs and output metadata
+        (what the reference does while building the graph)."""
+        for pname in self.settings.pipeline_names:
+            net = self.settings.pipelines[pname]
+            sources = []
+            for i, input_name in enumerate(net.input):
+                if input_name in self.pipeline_meta:
+                    meta = self.pipeline_meta[input_name]
+                    sources.append(_InputSource(
+                        "pipeline", input_name, meta["shape"], meta["cpv"],
+                        meta["fpc"], meta["dim"]))
+                else:
+                    dset = self._dataset_by_tag(input_name)
+                    shp = net.input_shape[i] if i < len(net.input_shape) \
+                        else None
+                    if shp is None:
+                        shp = tuple(dset.get_image_shape())
+                    cpv = _dataset_cpv(dset)
+                    fpc = dset.num_frames_per_clip or 1
+                    key = "%s_%s_input" % (pname, input_name)
+                    self.required_input.append(
+                        (key, defs.net_input.visual, input_name))
+                    sources.append(_InputSource("dataset", key, shp, cpv,
+                                                fpc, int(shp[-1])))
+                    if dset.embedding_matrix is not None:
+                        self.caption_dataset = dset
+                debug("Resolved pipeline input [%s] for [%s]"
+                      % (input_name, pname))
+
+            caption = (net.classifier == defs.classifier.lstm and
+                       self.caption_dataset is not None)
+            spec = {"name": pname, "net": net, "sources": sources,
+                    "caption": caption}
+            self.specs.append(spec)
+            self.pipeline_meta[pname] = self._output_meta(spec)
+        # training labels are required input too (reference train.py:117-118
+        # registers the labels placeholder)
+        self.required_input.append(
+            ("labels", defs.net_input.labels, defs.dataset_tag.main))
+
+    def _fused_input_meta(self, spec):
+        """Metadata after optional input fusion."""
+        net, sources = spec["net"], spec["sources"]
+        dims = [s.dim for s in sources]
+        fpcs = [s.fpc for s in sources]
+        cpvs = [s.cpv for s in sources]
+        if net.input_fusion is not None:
+            if net.input_fusion == defs.fusion_method.concat and \
+                    cpvs[0] // cpvs[-1] == 1:
+                dim = sum(dims)
+            elif net.input_fusion == defs.fusion_method.concat:
+                dim = sum(dims)
+            else:
+                dim = dims[0]
+            fpc = fpcs[0] + 1 if net.input_fusion == \
+                defs.fusion_method.ibias else fpcs[0]
+            return dim, cpvs[0], fpc
+        return dims[0], cpvs[0], fpcs[0]
+
+    def _repr_dim(self, spec, in_dim, in_shape):
+        net = spec["net"]
+        if net.representation == defs.representation.dcnn:
+            return alexnet.output_dim(net.frame_encoding_layer,
+                                      self.num_classes)
+        if net.representation == defs.representation.fc:
+            return net.fc_output_dim
+        return in_dim
+
+    def _output_meta(self, spec):
+        net = spec["net"]
+        in_dim, cpv, fpc = self._fused_input_meta(spec)
+        shape = spec["sources"][0].shape
+        dim = self._repr_dim(spec, in_dim, shape)
+        out_fpc = fpc
+        ft, _ = (net.frame_fusion if net.frame_fusion else (None, None))
+        if ft == defs.fusion_type.early and fpc > 1:
+            out_fpc = 1
+        if net.classifier is not None:
+            # after any classifier the temporal dim is consumed
+            # (reference model.py:153 records fpc=1)
+            dim = self.num_classes
+            out_fpc = 1
+        return {"dim": dim, "cpv": cpv, "fpc": out_fpc, "shape": shape}
+
+    # ---------------------------------------------------------------- init
+    def init_params(self, rng):
+        params = {}
+        self._groups = {"regular": [], "modified": []}
+        for spec in self.specs:
+            rng, sub = jax.random.split(rng)
+            params[spec["name"]] = self._init_pipeline(sub, spec)
+        return params
+
+    def _init_pipeline(self, rng, spec):
+        net, name = spec["net"], spec["name"]
+        p = {}
+        keys = jax.random.split(rng, 6)
+        in_dim, cpv, fpc = self._fused_input_meta(spec)
+        in_shape = spec["sources"][0].shape
+
+        if net.representation == defs.representation.dcnn:
+            fc6_in = alexnet.conv_output_flat_dim(in_shape)
+            p["dcnn"] = alexnet.init(keys[0], self.num_classes,
+                                     net.frame_encoding_layer,
+                                     net.weights_file, fc6_in=fc6_in)
+            reg, mod = alexnet.param_groups(p["dcnn"],
+                                            prefix=name + "/dcnn/")
+            self._groups["regular"].extend(reg)
+            self._groups["modified"].extend(mod)
+            dim = alexnet.output_dim(net.frame_encoding_layer,
+                                     self.num_classes)
+        elif net.representation == defs.representation.fc:
+            p["repr_fc"] = convert_dim_fc_init(keys[0], in_dim,
+                                               net.fc_output_dim)
+            self._groups["modified"].append(name + "/repr_fc")
+            dim = net.fc_output_dim
+        else:
+            dim = in_dim
+
+        if net.classifier == defs.classifier.fc:
+            p["clf_fc"] = convert_dim_fc_init(keys[1], dim, self.num_classes)
+            if p["clf_fc"] is not None:
+                self._groups["modified"].append(name + "/clf_fc")
+        elif net.classifier == defs.classifier.lstm:
+            num_hidden, num_layers, _ = net.lstm_params
+            lstm_in = dim
+            if spec["caption"]:
+                emb_dim = self.caption_dataset.get_embedding_dim()
+                lstm_in = emb_dim
+                # visual conditioning: map encodings to the state dim
+                # (reference lstm.py:552-564 fc_bias_state)
+                p["state_fc"] = convert_dim_fc_init(keys[2], dim, num_hidden)
+                if p["state_fc"] is not None:
+                    self._groups["modified"].append(name + "/state_fc")
+            p["lstm"] = lstm_mod.init(keys[3], lstm_in, num_hidden,
+                                      num_layers)
+            self._groups["modified"].append(name + "/lstm")
+            if len(spec["sources"]) > 1 and not spec["caption"]:
+                p["input_state_fc"] = convert_dim_fc_init(
+                    keys[4], spec["sources"][1].dim, num_hidden)
+                if p["input_state_fc"] is not None:
+                    self._groups["modified"].append(name + "/input_state_fc")
+            out_dim = (self.num_classes if not spec["caption"]
+                       else self.num_classes)
+            p["output_fc"] = convert_dim_fc_init(keys[5], num_hidden,
+                                                 out_dim)
+            if p["output_fc"] is not None:
+                self._groups["modified"].append(name + "/output_fc")
+        return p
+
+    def param_groups(self):
+        """(regular, modified) parameter path prefixes for two-tier LR
+        (reference train.py:152-197 + Trainable lists)."""
+        return self._groups["regular"], self._groups["modified"]
+
+    def get_ignorable_variable_names(self):
+        return list(self._ignorables)
+
+    # --------------------------------------------------------------- apply
+    def apply(self, params, feed, train=False, dropout_rng=None,
+              decode=False):
+        """Run the full DAG.  feed: {input_key: array}.  Returns logits —
+        (num_items, num_classes) for classification, (B*T, num_classes) for
+        caption training, (B, T) int32 indices when decode=True."""
+        outputs = {}
+        logits = None
+        for spec in self.specs:
+            logits = self._apply_pipeline(params[spec["name"]], spec, feed,
+                                          outputs, train, dropout_rng,
+                                          decode)
+            outputs[spec["name"]] = logits
+        return logits
+
+    def _apply_pipeline(self, p, spec, feed, outputs, train, dropout_rng,
+                        decode):
+        net, name = spec["net"], spec["name"]
+        inputs, dims, fpcs, cpvs = [], [], [], []
+        for src in spec["sources"]:
+            if src.kind == "pipeline":
+                inputs.append(outputs[src.name])
+            else:
+                if src.name not in feed:
+                    error("Missing feed input [%s]" % src.name)
+                inputs.append(feed[src.name])
+            dims.append(src.dim)
+            fpcs.append(src.fpc)
+            cpvs.append(src.cpv)
+
+        if net.input_fusion is not None:
+            fused, dim, fpc, cpv = fusion.apply_tensor_list_fusion(
+                inputs, net.input_fusion, dims, fpcs, cpvs)
+            inputs, dims, fpcs, cpvs = [fused], [dim], [fpc], [cpv]
+
+        x = inputs[0]
+        fpc = fpcs[0]
+        output_fpc = fpc
+        fusion_type, fusion_method = (net.frame_fusion if net.frame_fusion
+                                      else (None, None))
+
+        # representation
+        if net.representation == defs.representation.dcnn:
+            x = alexnet.apply(p["dcnn"], x.astype(jnp.float32),
+                              net.frame_encoding_layer,
+                              compute_dtype=self.compute_dtype)
+        elif net.representation == defs.representation.fc:
+            x = convert_dim_fc_apply(p["repr_fc"], x, self.compute_dtype)
+        elif net.representation != defs.representation.nop:
+            error("Undefined representation [%s]" % net.representation)
+        dim = int(x.shape[-1])
+
+        # early fusion (model.py:103-106)
+        if fusion_type == defs.fusion_type.early and fpc > 1:
+            x = fusion.aggregate_clip_vectors(x, dim, fpc, fusion_method)
+            output_fpc = 1
+
+        if net.classifier is None:
+            return x
+
+        if net.classifier == defs.classifier.fc:
+            logits = convert_dim_fc_apply(p.get("clf_fc"), x,
+                                          self.compute_dtype)
+        elif net.classifier == defs.classifier.lstm:
+            if spec["caption"]:
+                logits = self._apply_captioner(p, spec, x, feed, train,
+                                               dropout_rng, decode)
+                return logits
+            num_hidden, num_layers, lstm_fusion = net.lstm_params
+            init_state = None
+            if len(inputs) > 1:
+                state = fusion.replicate_auxiliary_tensor(
+                    inputs[1], dims[1], cpvs[0], cpvs[1])
+                init_state = convert_dim_fc_apply(p.get("input_state_fc"),
+                                                  state)
+            seq_out, states = lstm_mod.evaluate_sequence(
+                p["lstm"], x, num_hidden, output_fpc
+                if fusion_type == defs.fusion_type.early else fpc,
+                init_state=init_state, compute_dtype=self.compute_dtype)
+            if lstm_fusion == defs.fusion_method.state:
+                logits = states[-1][1]  # final hidden state (model.py:137)
+            else:
+                logits = fusion.apply_temporal_fusion(
+                    seq_out, num_hidden, seq_out.shape[1], lstm_fusion)
+                if train:
+                    logits = dropout(dropout_rng, logits,
+                                     self.settings.get_dropout())
+            logits = convert_dim_fc_apply(p.get("output_fc"), logits,
+                                          self.compute_dtype)
+        else:
+            error("Undefined classifier [%s]" % net.classifier)
+
+        # late fusion (model.py:149-151)
+        if fusion_type == defs.fusion_type.late and fpc > 1 and \
+                logits.ndim == 2 and logits.shape[0] != 0:
+            logits = fusion.aggregate_clip_vectors(
+                logits, self.num_classes, fpc, fusion_method)
+        return logits
+
+    # ----------------------------------------------------------- captioner
+    def _apply_captioner(self, p, spec, visual, feed, train, dropout_rng,
+                         decode):
+        """Caption branch: train -> per-word logits over the padded
+        sequence (reference define_lstm_inputbias, lstm.py:732-810);
+        decode -> batched greedy feedback search (lstm.py:630-724)."""
+        net = spec["net"]
+        num_hidden, num_layers, _ = net.lstm_params
+        dset = self.caption_dataset
+        T = dset.max_sequence_length
+        visual = convert_dim_fc_apply(p.get("state_fc"), visual,
+                                      self.compute_dtype)
+        if decode:
+            emb = jnp.asarray(dset.embedding_matrix)
+            return lstm_mod.greedy_decode(
+                p["lstm"], p["output_fc"], visual, emb,
+                dset.vocabulary.index("BOS"), T, num_hidden,
+                defs.rnn_visual_mode.state_bias)
+        words = feed["caption_words"]          # (B*T, E)
+        lengths = feed["caption_lengths"]      # (B,) input lengths (1+len)
+        seq_out, _ = lstm_mod.evaluate_sequence(
+            p["lstm"], words, num_hidden, T, lengths=lengths,
+            init_state=visual, compute_dtype=self.compute_dtype)
+        out = seq_out.reshape(-1, num_hidden)
+        if train:
+            out = dropout(dropout_rng, out, self.settings.get_dropout())
+        return convert_dim_fc_apply(p["output_fc"], out, self.compute_dtype)
+
+    # ------------------------------------------------------------- helpers
+    def example_feed(self, batch_items=2):
+        """Synthetic feed matching required_input — used for jit warmup,
+        the graft entry, and shape tests."""
+        feed = {}
+        for key, itype, tag in self.required_input:
+            if itype != defs.net_input.visual:
+                continue
+            spec_src = None
+            for spec in self.specs:
+                for src in spec["sources"]:
+                    if src.kind == "dataset" and src.name == key:
+                        spec_src = src
+            n = batch_items * spec_src.cpv * spec_src.fpc
+            feed[key] = np.zeros((n,) + tuple(spec_src.shape), np.float32)
+        n_items = self.num_labeled_items(batch_items)
+        feed["labels"] = np.zeros((n_items, self.num_classes), np.int32)
+        return feed
+
+    def num_labeled_items(self, batch_items):
+        """Logit/label rows produced per batch of ``batch_items`` videos."""
+        last = self.pipeline_meta[self.settings.pipeline_names[-1]]
+        return batch_items * last["cpv"] * last["fpc"]
+
+    def get_output_meta(self):
+        return self.pipeline_meta[self.settings.pipeline_names[-1]]

@@ -1,0 +1,75 @@
+"""Device-side batched image preprocessing.
+
+Moves the reference's per-frame CPU imgproc chain
+(/root/reference/dataset_.py:481-501: crop -> mean-subtract -> mirror) onto
+the accelerator as one jitted, vmapped transform over the batch:  uint8
+frames stream to HBM as-is (4x less PCIe/DMA traffic than float32), and the
+crop/mean/mirror arithmetic fuses into the first conv's input pipeline.
+
+Randomness (crop offsets, mirror flags) is drawn on the host by
+ImageProcessor.draw_params so the host (golden) and device paths consume
+identical parameters — pixel-parity is tested in
+tests/test_preprocess_device.py.
+
+``resize`` modes stay on the host: PIL-bilinear uint8 resize is a
+reference-parity semantic that jax.image.resize does not reproduce exactly.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from video_learning_tpu.defs import defs
+
+
+def supports_device_path(imgproc):
+    """The device path covers crop/mean/mirror chains; host-resize modes
+    (resize) are excluded for parity reasons."""
+    return defs.imgproc.resize not in (imgproc or [])
+
+
+def _one(image, param, mean_image, out_h, out_w, do_crop, do_mean,
+         do_mirror, out_dtype):
+    x = image
+    if do_crop:
+        x = jax.lax.dynamic_slice(
+            x, (param[0], param[1], 0), (out_h, out_w, x.shape[2]))
+    x = x.astype(jnp.float32)
+    if do_mean:
+        x = x - mean_image
+    if do_mirror:
+        x = jnp.where(param[2] > 0, x[:, ::-1, :], x)
+    return x.astype(out_dtype)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "do_crop", "do_mean",
+                                   "do_mirror", "out_dtype"))
+def batch_preprocess(images, params, mean_image, *, out_h, out_w,
+                     do_crop, do_mean, do_mirror, out_dtype=jnp.float32):
+    """images: (N, Hr, Wr, C) uint8; params: (N, 3) int32
+    (crop_y, crop_x, mirror); mean_image: (out_h, out_w, C) float32 or a
+    scalar 0 when unused.  Returns (N, out_h, out_w, C) in out_dtype."""
+    fn = lambda im, p: _one(im, p, mean_image, out_h, out_w, do_crop,
+                            do_mean, do_mirror, out_dtype)
+    return jax.vmap(fn)(images, params)
+
+
+def make_preprocessor(processor, out_dtype=jnp.float32):
+    """Bind a Dataset's ImageProcessor config into a device-side callable
+    batch_fn(images_u8, params) -> processed batch."""
+    imgproc = processor.imgproc
+    do_crop = (defs.imgproc.rand_crop in imgproc or
+               defs.imgproc.center_crop in imgproc)
+    do_mean = defs.imgproc.sub_mean in imgproc
+    do_mirror = defs.imgproc.rand_mirror in imgproc
+    out_h, out_w = processor.desired_image_shape[:2]
+    mean = (jnp.asarray(processor.mean_image) if do_mean
+            else jnp.zeros((), jnp.float32))
+
+    def run(images, params):
+        return batch_preprocess(
+            images, params, mean, out_h=out_h, out_w=out_w, do_crop=do_crop,
+            do_mean=do_mean, do_mirror=do_mirror, out_dtype=out_dtype)
+
+    return run

@@ -1,0 +1,45 @@
+"""Device mesh construction for SPMD execution.
+
+The reference framework is strictly single-process / single-device
+(SURVEY.md §2 parallelism checklist); the TPU-native design scales through a
+``jax.sharding.Mesh`` with a ``data`` axis (batch sharding over ICI) and an
+optional ``model`` axis (tensor-parallel sharding of the wide FC / LSTM
+kernels).  XLA GSPMD inserts the collectives; nothing here issues explicit
+communication.
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_learning_tpu.utils import error, info
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(mesh_shape=None, devices=None):
+    """Build a Mesh.  mesh_shape: {"data": N, "model": M} (model defaults
+    to 1; data defaults to all remaining devices)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    mesh_shape = dict(mesh_shape or {})
+    model = int(mesh_shape.get(MODEL_AXIS, 1))
+    data = int(mesh_shape.get(DATA_AXIS, n // model))
+    if data * model > n:
+        error("Mesh shape data=%d x model=%d exceeds %d devices"
+              % (data, model, n))
+    arr = np.asarray(devices[:data * model]).reshape(data, model)
+    info("Mesh: %d devices as (%s=%d, %s=%d)"
+         % (n, DATA_AXIS, data, MODEL_AXIS, model))
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh):
+    """Batch arrays: leading axis split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())

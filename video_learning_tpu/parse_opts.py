@@ -24,9 +24,15 @@ def parse_seq(value):
     if isinstance(value, (list, tuple)):
         return list(value)
     if isinstance(value, str):
-        parsed = _literal(value.strip())
+        text = value.strip()
+        parsed = _literal(text)
         if isinstance(parsed, (list, tuple)):
             return list(parsed)
+        if text.startswith(("[", "(")) and text.endswith(("]", ")")):
+            # bracketed list of non-literal tokens (e.g. defs.* strings):
+            # split on commas and parse each element individually
+            return [_literal(tok.strip())
+                    for tok in text[1:-1].split(",") if tok.strip()]
         return [parsed]
     return [value]
 

@@ -1,0 +1,263 @@
+"""CLI driver: training and validation runs from a YAML config.
+
+Counterpart of /root/reference/run_task.py.  Flow (run_task.py:117-152):
+Settings -> Feeder -> Model -> Train/Validation -> checkpoint restore ->
+one of do_train / do_test.  The hot loop keeps the reference's logging and
+checkpoint cadence (per-iteration loss/lr/nats lines, min-loss tracking,
+periodic + end-of-training saves) while the compute is a single jitted SPMD
+step; metrics stream to a JSONL writer instead of TF summaries.
+
+Usage: python -m video_learning_tpu.run_task config.yml
+"""
+
+import argparse
+import math
+import time
+
+import jax
+import numpy as np
+
+from video_learning_tpu import checkpoint as ckpt_mod
+from video_learning_tpu.config import Settings
+from video_learning_tpu.data import captions as captions_mod
+from video_learning_tpu.defs import defs
+from video_learning_tpu.models.pipeline import Model
+from video_learning_tpu.observe import MetricsWriter
+from video_learning_tpu.train import Train
+from video_learning_tpu.utils import elapsed_str, error, info
+from video_learning_tpu.val import Validation
+
+
+def print_iter_info(settings, feeder, num_data, num_labels, padding):
+    dataset = feeder.datasets[settings.phase][0]
+    padinfo = " (%d padding)" % padding if padding > 0 else ""
+    epoch_str = "" if settings.val else "epoch: %2d/%2d," % (
+        settings.train.epoch_index + 1, settings.train.epochs)
+    info("Mode: [%s], %s batch %4d / %4d : %s data%s, %s labels"
+         % (settings.phase, epoch_str, dataset.batch_index,
+            len(dataset.batches), str(num_data), padinfo, str(num_labels)))
+
+
+def _prepare_feed(feed, batches, model):
+    """Attach caption inputs when the main dataset is a captioner."""
+    main = batches.get(defs.dataset_tag.main)
+    if main is not None and main.caption is not None:
+        cap = main.caption
+        feed["caption_words"] = cap["word_embeddings"]
+        feed["caption_lengths"] = np.asarray(
+            [l + 1 for l in cap["caption_lengths"]], np.int32)
+        feed["caption_mask"] = cap["mask"]
+        # labels padded to (B*T, C) rows aligned with the word grid
+        B, T = cap["mask"].shape
+        C = main.labels.shape[-1]
+        padded = np.zeros((B * T, C), main.labels.dtype)
+        padded[np.asarray(cap["non_padding_index"], np.int64)] = \
+            main.labels
+        feed["labels"] = padded
+        feed["label_mask"] = cap["mask"].reshape(-1)
+    return feed
+
+
+def do_train(settings, engine, feeder, model, writer):
+    """Epoch/batch training loop (reference run_task.py:25-81)."""
+    required_input = model.required_input
+    run_batch_count = 0
+    min_train_loss = (1e9, -1)
+    info("Starting train")
+    for _ in range(settings.train.epoch_index, settings.train.epochs):
+        while feeder.loop():
+            feed, batches = feeder.get_feed(required_input)
+            feed = _prepare_feed(feed, batches, model)
+            num_data = [b.visual.shape[0] for b in batches.values()]
+            print_iter_info(settings, feeder, num_data,
+                            len(feed["labels"]), 0)
+            run_batch_count += 1
+            metrics = engine.run_step(feed)
+            settings.global_step = engine.global_step
+            if metrics["loss"] < min_train_loss[0]:
+                min_train_loss = (metrics["loss"], engine.global_step)
+            nats = metrics["loss"] / math.log(settings.num_classes)
+            info("Learning rate %2.8f, global step: %d, batch loss/nats : "
+                 "%2.5f / %2.3f" % (metrics["lr"], engine.global_step,
+                                    metrics["loss"], nats))
+            writer.write(engine.global_step, **metrics)
+            if feeder.should_save(run_batch_count):
+                progress = "ep_%d_btch_%d_gs_%d" % (
+                    1 + settings.train.epoch_index, feeder.get_batch_index(),
+                    engine.global_step)
+                feeder.save(engine.state_dict(), progress,
+                            engine.global_step)
+        if run_batch_count > 0:
+            info("Epoch [%d] training run complete."
+                 % (1 + settings.train.epoch_index))
+        else:
+            info("Resumed epoch [%d] is already complete."
+                 % (1 + settings.train.epoch_index))
+        settings.train.epoch_index += 1
+        feeder.rewind_datasets()
+    info("Minimum training loss: %2.5f at global step %d"
+         % min_train_loss)
+    if run_batch_count > 0 and not feeder.should_save(run_batch_count):
+        info("Saving model checkpoint out of turn (training finished).")
+        progress = "ep_%d_btch_%d_gs_%d" % (
+            1 + settings.train.epoch_index, feeder.get_num_batches(),
+            settings.global_step)
+        feeder.save(engine.state_dict(), progress, settings.global_step)
+
+
+def do_test(settings, val, params, feeder, model, writer):
+    """Validation loop (reference run_task.py:84-114)."""
+    tic = time.time()
+    required_input = model.required_input
+    target_rows = {}
+    is_caption = model.caption_dataset is not None
+    caption_rows = []
+    while feeder.loop():
+        feed, batches = feeder.get_feed(required_input)
+        feed = _prepare_feed(feed, batches, model)
+        labels = feed["labels"]
+        n_valid = labels.shape[0]
+        # pad ragged final batches to the compiled geometry
+        if not target_rows:
+            target_rows = {k: v.shape[0] for k, v in feed.items()
+                           if hasattr(v, "shape") and v.ndim >= 1}
+        padding = 0
+        for k in list(feed.keys()):
+            v = feed[k]
+            if not hasattr(v, "shape") or v.ndim < 1:
+                continue
+            tgt = target_rows[k]
+            if v.shape[0] < tgt:
+                if k == "labels":
+                    padding = tgt - v.shape[0]
+                feed[k] = np.pad(v, [(0, tgt - v.shape[0])] +
+                                 [(0, 0)] * (v.ndim - 1))
+        num_data = [b.visual.shape[0] for b in batches.values()]
+        print_iter_info(settings, feeder, num_data, n_valid, padding)
+        if is_caption:
+            idx_rows = val.run_forward(params, feed, decode=True)
+            idx_rows = idx_rows[:idx_rows.shape[0] - _item_padding(
+                padding, feed, idx_rows)]
+            dset = model.caption_dataset
+            for row in idx_rows[:len(idx_rows) - 0]:
+                caption_rows.append(captions_mod.trim_at_eos(
+                    row, dset.vocabulary, dset.max_caption_length))
+            # keep only valid items
+            if padding:
+                caption_rows = caption_rows[:len(caption_rows)]
+        else:
+            logits = val.run_forward(params, feed)
+            val.process_validation_logits(
+                defs.dataset_tag.main, settings, logits, feed["labels"],
+                padding)
+            val.save_validation_logits_chunk()
+    accuracy = None
+    if is_caption:
+        # drop rows stemming from padded items
+        n_items = sum(1 for _ in open(
+            model.caption_dataset.path.rsplit(".tfrecord", 1)[0]))
+        caption_rows = caption_rows[:n_items]
+        val.process_description(settings, caption_rows)
+    else:
+        val.save_validation_logits_chunk(save_all=True)
+        accuracy = val.get_accuracy()
+        info("Validation run complete in [%s], accuracy: %2.5f"
+             % (elapsed_str(tic), accuracy))
+        if val.validation_logits_save_interval is not None:
+            import os
+            with open(os.path.join(settings.run_folder,
+                                   "accuracy_" + settings.run_id),
+                      "w") as f:
+                f.write(str(accuracy))
+    writer.flush()
+    return accuracy
+
+
+def _item_padding(row_padding, feed, rows):
+    """Caption decode emits one row per batch item; translate label-row
+    padding (which is per caption word) into item rows."""
+    if not row_padding:
+        return 0
+    mask = feed.get("caption_mask")
+    if mask is None:
+        return row_padding
+    valid_items = int(np.sum(np.any(np.asarray(mask) > 0, axis=1)))
+    return rows.shape[0] - valid_items
+
+
+def _attach_captioning(settings):
+    """Wire captioning metadata into datasets that declared it
+    (config 'captioning' block + run-level captioning options)."""
+    for phase, dsets in settings.feeder.datasets.items():
+        for d in dsets:
+            emb_file = None
+            if d.captioning_config is not None:
+                emb_file = d.captioning_config[0]
+            elif settings.captioning is not None:
+                emb_file = settings.captioning.word_embeddings_file
+            if emb_file:
+                captions_mod.attach_captioning(
+                    d, emb_file,
+                    include_labels=(phase == defs.phase.train),
+                    do_padding=True)
+                info("Attached captioning to dataset [%s] (V=%d)"
+                     % (d.id, len(d.vocabulary)))
+
+
+def main(init_file):
+    settings = Settings()
+    # parse first so captioning attachment happens before batch calc
+    settings.initialize_from_file(init_file)
+    _attach_captioning(settings)
+    # finish initialization (dataset batch plans, resume snaps)
+    import os
+    import shutil
+    if os.path.dirname(os.path.abspath(init_file)) != \
+            os.path.abspath(settings.run_folder):
+        shutil.copyfile(init_file, os.path.join(
+            settings.run_folder, os.path.basename(init_file)))
+    if settings.train and settings.val:
+        error("Cannot specify simultaneous training and validation run.")
+    if not (settings.train or settings.val):
+        error("Neither training nor validation is enabled.")
+    settings.tensorboard_folder = os.path.join(
+        settings.run_folder, settings.tensorboard_folder, settings.phase)
+    settings.feeder.initialize_datasets()
+    settings.feeder.set_phase(settings.phase)
+    feeder = settings.feeder
+
+    model = Model(settings)
+    writer = MetricsWriter(settings.tensorboard_folder, settings.run_id)
+
+    if settings.train:
+        engine = Train(settings, feeder, model, seed=settings.seed)
+        if settings.should_resume():
+            settings.train.epoch_index, settings.global_step = \
+                feeder.resume_snap(settings.resume_file)
+            engine.global_step = settings.global_step
+        state = feeder.init_saveload(
+            engine.state_dict(), settings.resume_file,
+            model.get_ignorable_variable_names())
+        engine.load_state_dict(state)
+        engine.place_params()
+        do_train(settings, engine, feeder, model, writer)
+    else:
+        val = Validation(settings, model)
+        params = model.init_params(jax.random.PRNGKey(settings.seed))
+        state = {"params": params}
+        feeder.compute_save_interval()
+        if settings.should_resume():
+            state = feeder.init_saveload(
+                state, settings.resume_file,
+                model.get_ignorable_variable_names())
+        do_test(settings, val, state["params"], feeder, model, writer)
+
+    writer.close()
+    info("Run [%s] complete." % settings.run_id, email=True)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("init_file", help="YAML configuration for the run.")
+    args = parser.parse_args()
+    main(args.init_file)

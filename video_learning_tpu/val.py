@@ -1,0 +1,259 @@
+"""Validation / evaluation engine.
+
+Counterpart of /root/reference/val.py: accumulates per-clip / per-item
+logits+labels on the host, fuses clip logits into video logits at eval time
+in both batch granularities — batch_item=clip accumulates until a video's
+cpv is complete (val.py:63-88); batch_item=default fuses cpv-sized chunks
+inline (val.py:89-110) — persists logits in chunked pickles
+(``.part_N`` / ``.total``, val.py:115-148), computes accuracy across chunks
+(val.py:174-198), and drives caption evaluation: decoded word indices ->
+COCO-format ``coco.results.json`` -> the reimplemented caption metrics
+(val.py:205-250; the py2+Java subprocess chain is replaced by
+metrics/coco_eval.py).
+
+The forward pass itself is a single jitted function over padded batches;
+padding rows are dropped before accumulation.
+"""
+
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from video_learning_tpu.defs import defs
+from video_learning_tpu.ops.preprocess import make_preprocessor
+from video_learning_tpu.utils import (debug, duplicates, error, info,
+                                      warning)
+
+
+class Validation:
+
+    def __init__(self, settings, model=None):
+        if not settings.val:
+            return
+        self.settings = settings
+        self.model = model
+        self.num_classes = settings.num_classes
+        self.item_logits = np.zeros([0, settings.num_classes], np.float32)
+        self.item_labels = np.zeros([0, settings.num_classes], np.float32)
+        self.clip_logits = np.zeros([0, settings.num_classes], np.float32)
+        self.clip_labels = np.zeros([0, settings.num_classes], np.float32)
+        self.validation_logits_save_counter = 0
+        self.validation_logits_save_interval = \
+            settings.val.logits_save_interval
+        self.run_folder = settings.run_folder
+        self.run_id = settings.run_id
+        self.timestamp = settings.timestamp
+        self._forward = None
+        self._decode = None
+        self._preprocessors = {}
+        if model is not None:
+            self._build_forward()
+
+    # ------------------------------------------------------------ forward
+    def _build_forward(self):
+        model = self.model
+        for key, itype, tag in model.required_input:
+            if itype != defs.net_input.visual:
+                continue
+            dsets = self.settings.feeder.get_dataset_by_tag(tag)
+            if dsets and dsets[0].device_preprocess and \
+                    dsets[0].processor is not None:
+                self._preprocessors[key] = make_preprocessor(
+                    dsets[0].processor)
+
+        pre = self._preprocessors
+
+        def forward(params, feed):
+            feed = dict(feed)
+            for key, p in pre.items():
+                feed[key] = p(feed[key], feed.pop(key + "/proc_params"))
+            return model.apply(params, feed, train=False)
+
+        def decode(params, feed):
+            feed = dict(feed)
+            for key, p in pre.items():
+                feed[key] = p(feed[key], feed.pop(key + "/proc_params"))
+            return model.apply(params, feed, train=False, decode=True)
+
+        self._forward = jax.jit(forward)
+        self._decode = jax.jit(decode)
+
+    def run_forward(self, params, feed, decode=False):
+        fn = self._decode if decode else self._forward
+        return np.asarray(fn(params, feed))
+
+    # ------------------------------------------------- logits accumulation
+    def process_validation_logits(self, tag, settings, logits, labels,
+                                  padding=0):
+        """Accumulate one batch of logits (reference val.py:59-113).
+        ``padding`` rows at the tail are dropped first."""
+        if padding:
+            logits = logits[:len(logits) - padding]
+            labels = labels[:len(labels) - padding]
+        dataset = settings.feeder.get_dataset_by_tag(tag)[0]
+
+        if dataset.batch_item == defs.batch_item.clip:
+            self.clip_logits = np.vstack((self.clip_logits, logits))
+            self.clip_labels = np.vstack((self.clip_labels, labels))
+            debug("Accumulated %d clip logits (total %d)"
+                  % (len(logits), len(self.clip_logits)))
+            while dataset.video_index < len(dataset.clips_per_video):
+                cpv = dataset.clips_per_video[dataset.video_index]
+                if cpv > len(self.clip_logits):
+                    break
+                self.apply_clip_fusion(self.clip_logits, cpv,
+                                       self.clip_labels,
+                                       settings.val.clip_fusion_method)
+                self.clip_logits = self.clip_logits[cpv:, :]
+                self.clip_labels = self.clip_labels[cpv:, :]
+                dataset.video_index += 1
+        else:
+            if dataset.input_mode == defs.input_mode.video:
+                maxvid = dataset.batch_index * dataset.batch_size
+                minvid = maxvid - dataset.batch_size
+                for vidx in range(minvid, maxvid):
+                    if vidx >= dataset.num_items:
+                        break
+                    cpv = dataset.clips_per_video[vidx]
+                    self.apply_clip_fusion(logits, cpv, labels,
+                                           settings.val.clip_fusion_method)
+                    logits = logits[cpv:, :]
+                    labels = labels[cpv:, :]
+                if len(logits) != 0 or len(labels) != 0:
+                    error("Logits/labels non-empty after video aggregation!")
+                acc = np.mean(self.get_chunk_accuracy(self.item_logits,
+                                                      self.item_labels))
+                info("Incremental accuracy up to current batch: %2.3f" % acc)
+            else:
+                self.add_item_logits_labels(logits, labels)
+
+    def apply_clip_fusion(self, clips_logits, cpv, video_labels,
+                          clip_fusion):
+        """Fuse cpv clip logits into one video row (val.py:158-167)."""
+        curr = clips_logits[0:cpv, :]
+        label = video_labels[0, :]
+        if clip_fusion == defs.fusion_method.avg:
+            video_logits = np.mean(curr, axis=0)
+        elif clip_fusion == defs.fusion_method.last:
+            video_logits = curr[-1, :]
+        else:
+            error("Unsupported clip fusion [%s]" % clip_fusion)
+        self.add_item_logits_labels(video_logits, label)
+
+    def add_item_logits_labels(self, logits, label):
+        self.item_logits = np.vstack((self.item_logits, logits))
+        self.item_labels = np.vstack((self.item_labels, label))
+
+    # -------------------------------------------------- chunk persistence
+    def save_validation_logits_chunk(self, save_all=False):
+        """Chunked persistence of accumulated logits
+        (reference val.py:115-148)."""
+        if self.validation_logits_save_interval is None or \
+                len(self.item_logits) == 0:
+            return
+        if self.validation_logits_save_interval <= 0:
+            if save_all:
+                path = os.path.join(
+                    self.run_folder, "validation_logits_%s_%s.total"
+                    % (self.run_id, self.timestamp))
+                info("Saving all %d validation logits to %s"
+                     % (len(self.item_logits), path))
+                with open(path, "wb") as f:
+                    pickle.dump(self.item_logits, f)
+            return
+        if len(self.item_logits) >= self.validation_logits_save_interval \
+                or save_all:
+            path = os.path.join(
+                self.run_folder, "validation_logits_%s_%s.part_%d"
+                % (self.run_id, self.timestamp,
+                   self.validation_logits_save_counter))
+            info("Saving a %d-row chunk of validation logits to %s"
+                 % (len(self.item_logits), path))
+            with open(path, "wb") as f:
+                pickle.dump(self.item_logits, f)
+            if isinstance(self.item_logits, np.ndarray):
+                self.item_logits = np.zeros([0, self.num_classes],
+                                            np.float32)
+            else:
+                self.item_logits = []
+            self.validation_logits_save_counter += 1
+
+    def load_validation_logits_chunk(self, chunk_idx):
+        if self.validation_logits_save_interval is None:
+            return self.item_logits
+        path = os.path.join(self.run_folder,
+                            "validation_logits_%s_%s.part_%d"
+                            % (self.run_id, self.timestamp, chunk_idx))
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    # ------------------------------------------------------------ metrics
+    def get_accuracy(self):
+        """Mean accuracy over saved chunks + the live tail
+        (val.py:174-198)."""
+        accuracies = []
+        curr = 0
+        for idx in range(self.validation_logits_save_counter):
+            logits = self.load_validation_logits_chunk(idx)
+            size = len(logits)
+            labels = self.item_labels[curr:curr + size, :]
+            accuracies.append(self.get_chunk_accuracy(logits, labels))
+            curr += size
+        if len(self.item_logits) > 0:
+            size = len(self.item_logits)
+            labels = self.item_labels[curr:curr + size, :]
+            accuracies.append(self.get_chunk_accuracy(self.item_logits,
+                                                      labels))
+        return float(np.mean(accuracies))
+
+    def get_chunk_accuracy(self, logits, labels):
+        pred = np.argmax(logits, axis=1)
+        ref = np.argmax(labels, axis=1)
+        return np.mean(np.equal(pred, ref))
+
+    # --------------------------------------------------------- captioning
+    def process_description(self, settings, caption_rows=None):
+        """Caption evaluation (val.py:205-250): decoded index rows ->
+        {image_id, caption} json -> reimplemented COCO metrics.  When
+        ``caption_rows`` is given it is used directly (list of per-image
+        index sequences, already EOS-trimmed); otherwise saved chunks are
+        replayed."""
+        if settings.captioning.eval_type != defs.eval_type.coco:
+            error("Unsupported eval type %s"
+                  % settings.captioning.eval_type)
+        dataset = settings.feeder.get_dataset_by_tag(
+            defs.dataset_tag.main)[0]
+        ids_captions = []
+        num = 0
+        if caption_rows is not None:
+            ids_captions = dataset.validation_logits_to_captions(
+                caption_rows, 0)
+        else:
+            for idx in range(self.validation_logits_save_counter):
+                chunk = self.load_validation_logits_chunk(idx)
+                ids_captions.extend(
+                    dataset.validation_logits_to_captions(chunk, num))
+                num += len(chunk)
+        dupl = [obj["image_id"] for obj in ids_captions]
+        if duplicates(dupl):
+            error("Duplicate image ids in coco validation: %s" % str(dupl))
+        results_file = os.path.join(settings.run_folder,
+                                    "coco.results.json")
+        info("Writing captioning results to %s" % results_file)
+        with open(results_file, "w") as fp:
+            json.dump(ids_captions, fp)
+        gt = settings.captioning.caption_ground_truth
+        if not gt or not os.path.exists(str(gt)):
+            warning("No caption ground truth file; skipping metric "
+                    "computation.")
+            return None
+        from video_learning_tpu.metrics.coco_eval import evaluate_captions
+        scores = evaluate_captions(results_file, gt)
+        eval_file = results_file + ".eval.json"
+        with open(eval_file, "w") as f:
+            json.dump(scores, f, indent=2)
+        info("Caption metrics: %s" % scores)
+        return scores
