@@ -66,14 +66,17 @@ def conv_apply(params, x, strides, padding, groups=1, relu=True,
     feature_group_count instead of split/concat)."""
     w, b = params["w"], params["b"]
     if compute_dtype is not None:
+        # compute in the low-precision dtype (the MXU accumulates in f32
+        # internally) and upcast the result; avoids the transpose-rule
+        # dtype mismatch that preferred_element_type upcasting hits in
+        # the backward pass
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=tuple(strides), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32)
-    y = y + b.astype(jnp.float32)
+        feature_group_count=groups)
+    y = y.astype(jnp.float32) + b.astype(jnp.float32)
     return jax.nn.relu(y) if relu else y
 
 

@@ -253,13 +253,41 @@ class Train:
             }
             return new_params, new_opt_state, metrics
 
+        self.raw_step = step_fn
         return jax.jit(step_fn, donate_argnums=(0, 1))
 
+    def compile_scan_steps(self, num_steps):
+        """Fuse ``num_steps`` optimizer steps over one batch into a single
+        compiled device loop (lax.scan) — host-free training, the pattern
+        that hides dispatch latency entirely.  Returns
+        fn(params, opt_state, feed, step0, rng) ->
+        (params, opt_state, stacked_metrics)."""
+        raw = self.raw_step
+
+        def many(params, opt_state, feed, step0, rng):
+            def body(carry, i):
+                p, o = carry
+                p, o, m = raw(p, o, feed, step0 + i,
+                              jax.random.fold_in(rng, i))
+                return (p, o), m
+
+            (p, o), ms = jax.lax.scan(body, (params, opt_state),
+                                      jnp.arange(num_steps))
+            return p, o, ms
+
+        return jax.jit(many, donate_argnums=(0, 1))
+
     def place_params(self):
-        """Shard/replicate params + opt state onto the mesh."""
+        """Shard/replicate params + opt state onto the mesh.  Placing both
+        up-front keeps jit input shardings identical to output shardings,
+        so the step executable compiles exactly once."""
         shardings = param_shardings(self.params, self.mesh)
         self.params = jax.tree_util.tree_map(jax.device_put, self.params,
                                              shardings)
+        repl = mesh_mod.replicated(self.mesh)
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl)
+            if hasattr(x, "shape") else x, self.opt_state)
 
     # ----------------------------------------------------------- padding
     def _pad_feed(self, feed):
