@@ -1,0 +1,174 @@
+"""End-to-end image-captioning workflow: annotations -> vocab ->
+embeddings -> packed images -> caption training -> greedy decode ->
+coco.results.json + metrics.  (The reference's imgdesc workflow,
+SURVEY §2.25 frames_imgdesc fixture shape.)"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from video_learning_tpu.data import serialize as ser
+
+
+@pytest.fixture(scope="module")
+def caption_fixture(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("capfix")
+    from tests.conftest import make_image
+    # vocabulary + embeddings
+    words = ["a", "red", "dog", "cat", "runs", "sits"]
+    vocab = words + ["UNK", "EOS", "BOS"]
+    (tmp_path / "v.vocab").write_text("\n".join(vocab) + "\n")
+    rng = np.random.RandomState(0)
+    emb_lines = ["%s\t%s" % (w, " ".join("%.5f" % x
+                                         for x in rng.randn(8)))
+                 for w in vocab]
+    emb_path = tmp_path / "v.vocab.embeddings"
+    emb_path.write_text("\n".join(emb_lines) + "\n")
+
+    # images + caption index labels (paths file: img id from suffix)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    captions = {1: [0, 1, 2, 4], 2: [0, 3, 5], 3: [0, 2], 4: [3, 5]}
+    lines = []
+    for iid, lab in captions.items():
+        p = img_dir / ("img_%04d.jpg" % iid)
+        Image.fromarray(make_image(112, 112, seed=iid)).save(p, quality=95)
+        lines.append("%s %s" % (p, " ".join(map(str, lab))))
+    paths_file = tmp_path / "caps.train"
+    paths_file.write_text("\n".join(lines) + "\n")
+
+    # ground-truth coco json (captions as words)
+    gt = {"images": [{"id": iid, "file_name": "img_%04d.jpg" % iid}
+                     for iid in captions],
+          "annotations": [{"image_id": iid,
+                           "caption": " ".join(words[i] for i in lab)}
+                          for iid, lab in captions.items()]}
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+
+    # pack
+    pack = {"serialize": {
+        "output_folder": None, "path_prepend_folder": None,
+        "input_files": [str(paths_file)], "run_id": "cap",
+        "num_threads": 2, "num_items_per_thread": 4,
+        "raw_image_shape": "(112, 112, 3)", "clip_offset_or_num": 1,
+        "num_frames_per_clip": 1,
+        "clipframe_mode": "defs.clipframe_mode.iterative",
+        "generation_error": "defs.generation_error.compromise",
+        "do_shuffle": False, "do_serialize": True, "do_validate": False,
+        "validate_pcnt": 100, "frame_format": "jpg",
+        "logging_level": "logging.INFO", "seed": 1}}
+    packcfg = tmp_path / "pack.yml"
+    packcfg.write_text(yaml.safe_dump(pack))
+    ser.main(["serialize", str(packcfg)])
+    return tmp_path, paths_file, emb_path, gt_path, vocab
+
+
+def _cfg(tmp_path, paths_file, emb_path, gt_path, phase, resume=None,
+         visual_mode=None):
+    lstm_params = [16, 1, "defs.fusion_method.avg"]
+    if visual_mode:
+        lstm_params.append("defs.rnn_visual_mode.%s" % visual_mode)
+    cfg = {"run": {
+        "resume_file": resume,
+        "run_folder": str(tmp_path / "run"),
+        "run_id": "cap",
+        "seed": 5,
+        "mesh_shape": {"data": 1},
+        "compute_dtype": "float32",
+        "phase": "defs.phase.%s" % phase,
+        "data": {"caps": {
+            "data_path": str(paths_file),
+            "raw_image_shape": "(112, 112, 3)",
+            "image_shape": "(96, 96, 3)",
+            "mean_image": [99.2, 105.3, 109.5],
+            "data_format": "defs.data_format.tfrecord",
+            "frame_format": "jpg",
+            "imgproc": ["defs.imgproc.center_crop",
+                        "defs.imgproc.sub_mean"],
+            "batch_item": "defs.batch_item.default",
+            "phase": "defs.phase.%s" % phase,
+            "tag": "defs.dataset_tag.main"}},
+        "network": {
+            "num_classes": 9,  # = len(vocab)
+            "pipelines": [
+                {"enc": {"input": "defs.dataset_tag.main",
+                         "representation": "defs.representation.dcnn",
+                         "frame_encoding_layer": "fc6"}},
+                {"capt": {"input": "enc",
+                          "representation": "defs.representation.nop",
+                          "classifier": "defs.classifier.lstm",
+                          "lstm_params": lstm_params}}]},
+        "train": {"batch_size": 2, "epochs": 2,
+                  "optimizer": "defs.optim.adam", "base_lr": 0.01,
+                  "lr_mult": None, "lr_decay": None, "clip_norm": 5,
+                  "dropout_keep_prob": 0.5},
+        "val": {"batch_size": 2, "logits_save_interval": -1,
+                "clip_fusion": ["defs.fusion_type.late",
+                                "defs.fusion_method.avg"]},
+        "captioning": {
+            "caption_search": "defs.caption_search.max",
+            "eval_type": "defs.eval_type.coco",
+            "caption_ground_truth": str(gt_path),
+            "word_embeddings_file": str(emb_path)},
+        "logging": {"save_freq_per_epoch": 1, "level": "logging.INFO",
+                    "print_tensors": False, "tensorboard_folder": "tb",
+                    "email_notify": None},
+    }}
+    p = tmp_path / ("cap_%s.yml" % phase)
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+@pytest.mark.parametrize("visual_mode", ["state_bias", "input_concat"])
+def test_caption_train_and_decode(caption_fixture, visual_mode):
+    from video_learning_tpu import run_task
+    tmp_path, paths_file, emb_path, gt_path, vocab = caption_fixture
+    run_folder = tmp_path / "run"
+    import shutil
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+
+    cfg = _cfg(tmp_path, paths_file, emb_path, gt_path, "train",
+               visual_mode=visual_mode)
+    run_task.main(str(cfg))
+    assert (run_folder / "checkpoints").exists()
+
+    vcfg = _cfg(tmp_path, paths_file, emb_path, gt_path, "val",
+                resume="latest", visual_mode=visual_mode)
+    run_task.main(str(vcfg))
+    results = json.load(open(run_folder / "coco.results.json"))
+    assert len(results) == 4
+    ids = sorted(r["image_id"] for r in results)
+    assert ids == [1, 2, 3, 4]
+    for r in results:
+        assert isinstance(r["caption"], str)
+        # decoded words must come from the vocabulary
+        for w in r["caption"].split():
+            assert w in vocab
+    scores = json.load(open(str(run_folder / "coco.results.json")
+                            + ".eval.json"))
+    assert "CIDEr" in scores and "Bleu_4" in scores
+
+
+def test_caption_training_reduces_loss(caption_fixture):
+    """Caption CE should drop markedly when overfitting 4 items."""
+    from video_learning_tpu import run_task
+    tmp_path, paths_file, emb_path, gt_path, vocab = caption_fixture
+    run_folder = tmp_path / "run"
+    import shutil
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+    cfg = _cfg(tmp_path, paths_file, emb_path, gt_path, "train")
+    # more epochs to see learning
+    text = cfg.read_text().replace("epochs: 2", "epochs: 8")
+    cfg.write_text(text)
+    run_task.main(str(cfg))
+    tb = run_folder / "tb" / "train"
+    mfile = list(tb.glob("metrics_*.jsonl"))[0]
+    lines = [json.loads(l) for l in open(mfile)]
+    assert lines[-1]["loss"] < lines[0]["loss"] * 0.7

@@ -1,0 +1,201 @@
+"""Tests for caption preprocessing tools, runtime caption framing, and the
+reimplemented COCO metrics."""
+
+import json
+
+import numpy as np
+import pytest
+import yaml
+
+from video_learning_tpu.data import captions as cap
+from video_learning_tpu.metrics import coco_eval as ce
+
+
+# ------------------------------------------------------------ annotations
+@pytest.fixture
+def coco_gt(tmp_path):
+    data = {
+        "images": [{"id": 1, "file_name": "COCO_val_000000000001.jpg"},
+                   {"id": 2, "file_name": "COCO_val_000000000002.jpg"}],
+        "annotations": [
+            {"image_id": 1, "caption": "A red dog runs fast."},
+            {"image_id": 1, "caption": "The red dog is running!"},
+            {"image_id": 2, "caption": "A cat sits on a mat."},
+            {"image_id": 2, "caption": "Small cat on the mat."}],
+    }
+    p = tmp_path / "gt.json"
+    p.write_text(json.dumps(data))
+    return p
+
+
+def test_process_annotations_vocab_and_encode(tmp_path, coco_gt):
+    from video_learning_tpu.tools import process_annotations as pa
+    cfg = {"captions": {
+        "vocabulary_file": None,
+        "caption_files": [str(coco_gt)],
+        "caption_file_formats": ["coco"],
+        "vocab_replacement_file": None,
+        "word_count_thresh": 0,
+        "caption_max_length": 6}}
+    cfgfile = tmp_path / "cap.yml"
+    cfgfile.write_text(yaml.safe_dump(cfg))
+    vocab_path = pa.main(["x", str(cfgfile)])
+    vocab = [l for l in open(vocab_path).read().splitlines() if l]
+    assert vocab[-3:] == ["UNK", "EOS", "BOS"]
+    assert "dog" in vocab and "cat" in vocab
+
+    # now encode with the produced vocabulary
+    cfg["captions"]["vocabulary_file"] = vocab_path
+    cfgfile.write_text(yaml.safe_dump(cfg))
+    outputs = pa.main(["x", str(cfgfile)])
+    lines = [l.split() for l in open(outputs[0]) if l.strip()]
+    assert len(lines) == 4  # 2 images x 2 captions
+    vmap = {w: i for i, w in enumerate(vocab)}
+    # first token of image-1 captions should decode back to a word
+    for parts in lines:
+        assert parts[0].endswith(".jpg")
+        idxs = [int(x) for x in parts[1:]]
+        assert all(0 <= i < len(vocab) for i in idxs)
+        assert len(idxs) <= 6
+
+
+def test_produce_vocab_embeddings(tmp_path):
+    from video_learning_tpu.tools import produce_vocab_embeddings as pve
+    vocab_file = tmp_path / "v.vocab"
+    vocab_file.write_text("dog\ncat\nUNK\nEOS\nBOS\n")
+    emb_file = tmp_path / "glove.txt"
+    emb_file.write_text("dog 0.1 0.2 0.3\ncat 0.4 0.5 0.6\n")
+    out = pve.produce(str(vocab_file), str(emb_file),
+                      randomize_missing_embeddings=True, seed=1)
+    vocab, matrix = cap.read_embeddings(out)
+    assert vocab == ["dog", "cat", "UNK", "EOS", "BOS"]
+    assert matrix.shape == (5, 3)
+    assert np.allclose(matrix[0], [0.1, 0.2, 0.3])
+    # missing tokens randomized within observed min/max
+    assert matrix[2:].min() >= 0.1 - 1e-6
+    assert matrix[2:].max() <= 0.6 + 1e-6
+
+
+def test_produce_vocab_embeddings_missing_strict(tmp_path):
+    from video_learning_tpu.tools import produce_vocab_embeddings as pve
+    from video_learning_tpu.utils import FrameworkError
+    vocab_file = tmp_path / "v.vocab"
+    vocab_file.write_text("dog\nzebra\nUNK\nEOS\nBOS\n")
+    emb_file = tmp_path / "glove.txt"
+    emb_file.write_text("dog 0.1 0.2\n")
+    import os
+    os.chdir(tmp_path)
+    with pytest.raises(FrameworkError):
+        pve.produce(str(vocab_file), str(emb_file),
+                    randomize_missing_embeddings=False)
+
+
+# ------------------------------------------------------- runtime framing
+def test_labels_to_words_framing():
+    vocab = ["a", "dog", "runs", "UNK", "EOS", "BOS"]
+    emb = np.arange(6 * 4, dtype=np.float32).reshape(6, 4)
+    out = cap.labels_to_words([[0, 1], [2]], emb, vocab, num_classes=6,
+                              max_sequence_length=4, include_labels=True,
+                              do_padding=True)
+    # word grid: 2 items x 4 steps
+    assert out["word_embeddings"].shape == (8, 4)
+    # item 0: BOS, a, dog, pad
+    assert np.allclose(out["word_embeddings"][0], emb[5])
+    assert np.allclose(out["word_embeddings"][1], emb[0])
+    assert np.allclose(out["word_embeddings"][3], 0.0)
+    # labels: (2+1)+(1+1)=5 rows incl EOS
+    assert out["onehot_labels"].shape == (5, 6)
+    assert np.argmax(out["onehot_labels"][2]) == 4  # EOS after item0
+    assert out["caption_lengths"] == [2, 1]
+    assert out["non_padding_index"] == [0, 1, 2, 4, 5]
+    assert np.allclose(out["mask"], [[1, 1, 1, 0], [1, 1, 0, 0]])
+
+
+def test_trim_at_eos():
+    vocab = ["a", "b", "EOS"]
+    assert cap.trim_at_eos([0, 1, 2, 0], vocab, 10) == [0, 1]
+    assert cap.trim_at_eos([0, 1, 0, 1], vocab, 3) == [0, 1, 0]
+
+
+def test_image_ids_from_paths_file(tmp_path):
+    paths = tmp_path / "imgs.txt"
+    paths.write_text("COCO_val2014_000000000042.jpg 1 2\n"
+                     "COCO_val2014_000000000099.jpg 3\n")
+    rec = str(paths) + ".tfrecord"
+    ids = cap.image_ids_from_paths_file(rec, 0, 2)
+    assert ids == [42, 99]
+    ids = cap.image_ids_from_paths_file(rec, 1, 1)
+    assert ids == [99]
+
+
+# ----------------------------------------------------------------- metrics
+def _perfect_case():
+    cands = {1: ce.tokenize("a red dog runs fast"),
+             2: ce.tokenize("a cat sits on a mat")}
+    refs = {1: [ce.tokenize("a red dog runs fast")],
+            2: [ce.tokenize("a cat sits on a mat")]}
+    return cands, refs
+
+
+def test_bleu_perfect_and_zero():
+    cands, refs = _perfect_case()
+    scores = ce.bleu(cands, refs)
+    assert all(s == pytest.approx(1.0) for s in scores)
+    bad = {1: ce.tokenize("x y z w v"), 2: ce.tokenize("q r s t u q")}
+    scores = ce.bleu(bad, refs)
+    assert scores[0] < 1e-6
+
+
+def test_bleu_known_value():
+    # candidate with 4/5 unigram matches, reference same length
+    cands = {1: "the cat sat on mat".split()}
+    refs = {1: ["the cat sat on the".split()]}
+    s = ce.bleu(cands, refs)
+    assert s[0] == pytest.approx(4 / 5)
+
+
+def test_rouge_l():
+    cands, refs = _perfect_case()
+    assert ce.rouge_l(cands, refs) == pytest.approx(1.0)
+    cands2 = {1: "a dog".split(), 2: "a cat".split()}
+    r = ce.rouge_l(cands2, refs)
+    assert 0 < r < 1.0
+
+
+def test_cider_positive_and_ranking():
+    cands, refs = _perfect_case()
+    perfect = ce.cider_d(cands, refs)
+    noisy = ce.cider_d({1: "a red dog".split(), 2: "a cat".split()}, refs)
+    assert perfect > noisy > 0
+
+
+def test_meteor_lite():
+    cands, refs = _perfect_case()
+    perfect = ce.meteor_lite(cands, refs)
+    assert perfect == pytest.approx(0.5 * (1 + 1), rel=1)  # ~ fmean*(1-pen)
+    assert perfect > 0.9
+    scrambled = {1: "fast runs dog red a".split(),
+                 2: "mat a on sits cat a".split()}
+    s = ce.meteor_lite(scrambled, refs)
+    assert 0 < s < perfect  # fragmentation penalty bites
+
+
+def test_evaluate_captions_end_to_end(tmp_path, coco_gt):
+    results = [{"image_id": 1, "caption": "a red dog runs fast"},
+               {"image_id": 2, "caption": "a cat sits on a mat"}]
+    rf = tmp_path / "results.json"
+    rf.write_text(json.dumps(results))
+    scores = ce.evaluate_captions(str(rf), str(coco_gt))
+    for k in ("Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr", "METEOR"):
+        assert k in scores
+        assert 0 <= scores[k] <= 10 + 1e-9
+    assert scores["Bleu_1"] > 0.5
+
+
+def test_coco_eval_cli(tmp_path, coco_gt):
+    results = [{"image_id": 1, "caption": "a red dog runs fast"}]
+    rf = tmp_path / "results.json"
+    rf.write_text(json.dumps(results))
+    ce.main(["prog", str(rf), str(coco_gt)])
+    out = json.load(open(str(rf) + ".eval.json"))
+    assert "CIDEr" in out

@@ -194,6 +194,12 @@ class Settings:
                 error("LSTM classifier requires lstm_params")
             network.lstm_params = [int(params[0]), int(params[1]),
                                    defs.check(params[2], defs.fusion_method)]
+            # optional 4th entry: visual conditioning mode for captioning
+            # (state_bias / input_bias / input_concat, reference
+            # defs_.py:57-58; selects among the lstm.py caption graphs)
+            if len(params) > 3:
+                network.lstm_params.append(
+                    defs.check(params[3], defs.rnn_visual_mode))
 
         network.weights_file = self.read_field(pipeline_content,
                                                "weights_file")

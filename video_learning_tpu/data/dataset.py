@@ -136,12 +136,14 @@ class Dataset:
             error("Could not find data size file: %s" % size_file)
         meta = records.read_size_file(size_file)
         self.num_items = meta["items"]
-        if meta["type"] != defs.input_mode.vectors:
-            if self.input_mode is not None and meta["type"] != self.input_mode:
-                error("Specified input mode is [%s] but the size file "
-                      "contains [%s]" % (self.input_mode, meta["type"]))
-        else:
-            self.input_mode = defs.input_mode.vectors
+        if meta["type"] != self.input_mode:
+            # The .size sidecar describes the actual packed data and is
+            # authoritative; the configured mode is only a default.  (The
+            # reference errors here for image data under its video-mode
+            # default, dataset_.py:712-714 — a latent bug worked around.)
+            info("Size file overrides input mode: [%s] -> [%s]"
+                 % (self.input_mode, meta["type"]))
+            self.input_mode = meta["type"]
         cpv, fpc = meta["cpi"], meta["fpc"]
         if (cpv is not None) == (self.input_mode == defs.input_mode.image):
             error("Read cpi %s but input mode is %s"

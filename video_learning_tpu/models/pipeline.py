@@ -216,15 +216,28 @@ class Model:
             if p["clf_fc"] is not None:
                 self._groups["modified"].append(name + "/clf_fc")
         elif net.classifier == defs.classifier.lstm:
-            num_hidden, num_layers, _ = net.lstm_params
+            num_hidden, num_layers = net.lstm_params[:2]
             lstm_in = dim
             if spec["caption"]:
                 emb_dim = self.caption_dataset.get_embedding_dim()
-                lstm_in = emb_dim
-                # visual conditioning: map encodings to the state dim
-                # (reference lstm.py:552-564 fc_bias_state)
-                p["state_fc"] = convert_dim_fc_init(keys[2], dim, num_hidden)
-                if p["state_fc"] is not None:
+                mode = self._caption_mode(net)
+                if mode == defs.rnn_visual_mode.state_bias:
+                    lstm_in = emb_dim
+                    # map visual encodings to the state dim (reference
+                    # lstm.py:552-564 fc_bias_state)
+                    p["state_fc"] = convert_dim_fc_init(keys[2], dim,
+                                                        num_hidden)
+                elif mode == defs.rnn_visual_mode.input_concat:
+                    # image (+) word concat fed per step (lstm.py:481-529)
+                    lstm_in = emb_dim + dim
+                elif mode == defs.rnn_visual_mode.input_bias:
+                    # visual becomes the first timestep input; map it to
+                    # the embedding dim (ibias requires matching dims,
+                    # tf_util.py:153-176)
+                    lstm_in = emb_dim
+                    p["state_fc"] = convert_dim_fc_init(keys[2], dim,
+                                                        emb_dim)
+                if p.get("state_fc") is not None:
                     self._groups["modified"].append(name + "/state_fc")
             p["lstm"] = lstm_mod.init(keys[3], lstm_in, num_hidden,
                                       num_layers)
@@ -350,13 +363,27 @@ class Model:
         return logits
 
     # ----------------------------------------------------------- captioner
+    @staticmethod
+    def _caption_mode(net):
+        if len(net.lstm_params) > 3:
+            return net.lstm_params[3]
+        return defs.rnn_visual_mode.state_bias
+
     def _apply_captioner(self, p, spec, visual, feed, train, dropout_rng,
                          decode):
-        """Caption branch: train -> per-word logits over the padded
-        sequence (reference define_lstm_inputbias, lstm.py:732-810);
-        decode -> batched greedy feedback search (lstm.py:630-724)."""
+        """Caption branch.  Training emits per-word logits over the padded
+        (B, T) word grid; decoding runs a batched greedy feedback search.
+        Visual conditioning modes (reference lstm.py):
+          state_bias   — visual vector as every layer's initial (c, h)
+                         (define_lstm_inputbias, :732-810),
+          input_concat — visual concatenated to each timestep's word input
+                         (define_imgdesc_inputstep, :481-529),
+          input_bias   — visual fed as an extra first timestep
+                         (ibias fusion, tf_util.py:153-176).
+        """
         net = spec["net"]
-        num_hidden, num_layers, _ = net.lstm_params
+        num_hidden = net.lstm_params[0]
+        mode = self._caption_mode(net)
         dset = self.caption_dataset
         T = dset.max_sequence_length
         visual = convert_dim_fc_apply(p.get("state_fc"), visual,
@@ -365,13 +392,33 @@ class Model:
             emb = jnp.asarray(dset.embedding_matrix)
             return lstm_mod.greedy_decode(
                 p["lstm"], p["output_fc"], visual, emb,
-                dset.vocabulary.index("BOS"), T, num_hidden,
-                defs.rnn_visual_mode.state_bias)
+                dset.vocabulary.index("BOS"), T, num_hidden, mode)
+
         words = feed["caption_words"]          # (B*T, E)
         lengths = feed["caption_lengths"]      # (B,) input lengths (1+len)
-        seq_out, _ = lstm_mod.evaluate_sequence(
-            p["lstm"], words, num_hidden, T, lengths=lengths,
-            init_state=visual, compute_dtype=self.compute_dtype)
+        E = words.shape[-1]
+        if mode == defs.rnn_visual_mode.state_bias:
+            seq_out, _ = lstm_mod.evaluate_sequence(
+                p["lstm"], words, num_hidden, T, lengths=lengths,
+                init_state=visual, compute_dtype=self.compute_dtype)
+        elif mode == defs.rnn_visual_mode.input_concat:
+            grid = words.reshape(-1, T, E)
+            vis = jnp.broadcast_to(visual[:, None, :],
+                                   (grid.shape[0], T, visual.shape[-1]))
+            combo = jnp.concatenate([grid, vis], axis=-1)
+            seq_out, _ = lstm_mod.evaluate_sequence(
+                p["lstm"], combo.reshape(-1, combo.shape[-1]),
+                num_hidden, T, lengths=lengths,
+                compute_dtype=self.compute_dtype)
+        elif mode == defs.rnn_visual_mode.input_bias:
+            grid = words.reshape(-1, T, E)
+            combo = jnp.concatenate([visual[:, None, :], grid], axis=1)
+            seq_out, _ = lstm_mod.evaluate_sequence(
+                p["lstm"], combo.reshape(-1, E), num_hidden, T + 1,
+                lengths=lengths + 1, compute_dtype=self.compute_dtype)
+            seq_out = seq_out[:, 1:, :]  # drop the visual step's output
+        else:
+            error("Unknown rnn visual mode [%s]" % mode)
         out = seq_out.reshape(-1, num_hidden)
         if train:
             out = dropout(dropout_rng, out, self.settings.get_dropout())

@@ -47,14 +47,16 @@ def _prepare_feed(feed, batches, model):
         feed["caption_lengths"] = np.asarray(
             [l + 1 for l in cap["caption_lengths"]], np.int32)
         feed["caption_mask"] = cap["mask"]
-        # labels padded to (B*T, C) rows aligned with the word grid
-        B, T = cap["mask"].shape
-        C = main.labels.shape[-1]
-        padded = np.zeros((B * T, C), main.labels.dtype)
-        padded[np.asarray(cap["non_padding_index"], np.int64)] = \
-            main.labels
-        feed["labels"] = padded
-        feed["label_mask"] = cap["mask"].reshape(-1)
+        if len(cap["non_padding_index"]) == len(main.labels):
+            # training: scatter the (caption+EOS) one-hots onto the padded
+            # (B*T, C) word grid so loss rows align with LSTM outputs
+            B, T = cap["mask"].shape
+            C = main.labels.shape[-1]
+            padded = np.zeros((B * T, C), main.labels.dtype)
+            padded[np.asarray(cap["non_padding_index"], np.int64)] = \
+                main.labels
+            feed["labels"] = padded
+            feed["label_mask"] = cap["mask"].reshape(-1)
     return feed
 
 
@@ -135,16 +137,13 @@ def do_test(settings, val, params, feeder, model, writer):
         num_data = [b.visual.shape[0] for b in batches.values()]
         print_iter_info(settings, feeder, num_data, n_valid, padding)
         if is_caption:
+            # one decoded row per batch item; keep only the real items
+            real_items = batches[defs.dataset_tag.main].visual.shape[0]
             idx_rows = val.run_forward(params, feed, decode=True)
-            idx_rows = idx_rows[:idx_rows.shape[0] - _item_padding(
-                padding, feed, idx_rows)]
             dset = model.caption_dataset
-            for row in idx_rows[:len(idx_rows) - 0]:
+            for row in idx_rows[:real_items]:
                 caption_rows.append(captions_mod.trim_at_eos(
                     row, dset.vocabulary, dset.max_caption_length))
-            # keep only valid items
-            if padding:
-                caption_rows = caption_rows[:len(caption_rows)]
         else:
             logits = val.run_forward(params, feed)
             val.process_validation_logits(
@@ -153,10 +152,6 @@ def do_test(settings, val, params, feeder, model, writer):
             val.save_validation_logits_chunk()
     accuracy = None
     if is_caption:
-        # drop rows stemming from padded items
-        n_items = sum(1 for _ in open(
-            model.caption_dataset.path.rsplit(".tfrecord", 1)[0]))
-        caption_rows = caption_rows[:n_items]
         val.process_description(settings, caption_rows)
     else:
         val.save_validation_logits_chunk(save_all=True)
@@ -171,18 +166,6 @@ def do_test(settings, val, params, feeder, model, writer):
                 f.write(str(accuracy))
     writer.flush()
     return accuracy
-
-
-def _item_padding(row_padding, feed, rows):
-    """Caption decode emits one row per batch item; translate label-row
-    padding (which is per caption word) into item rows."""
-    if not row_padding:
-        return 0
-    mask = feed.get("caption_mask")
-    if mask is None:
-        return row_padding
-    valid_items = int(np.sum(np.any(np.asarray(mask) > 0, axis=1)))
-    return rows.shape[0] - valid_items
 
 
 def _attach_captioning(settings):

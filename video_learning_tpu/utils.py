@@ -214,3 +214,15 @@ def get_run_checkpoints(run_folder):
 def flush_stdio():
     sys.stdout.flush()
     sys.stderr.flush()
+
+
+def ensure_console_logging(level=logging.INFO):
+    """Give standalone CLI tools a console handler so info() output is
+    visible without a full run configuration."""
+    logger = logging.getLogger(CustomLogger.loggername)
+    if not logger.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("%(asctime)s| %(levelname)7s - "
+                                         "%(message)s"))
+        logger.addHandler(h)
+        logger.setLevel(level)
