@@ -1,0 +1,242 @@
+"""Tests for the ops/analysis tooling layer (SURVEY §2.17-2.23)."""
+
+import os
+import pickle
+import wave
+
+import numpy as np
+import pytest
+
+from video_learning_tpu.data import records
+
+
+@pytest.fixture
+def packed_images(tmp_path):
+    path = str(tmp_path / "d.tfrecord")
+    rng = np.random.RandomState(0)
+    with records.RecordWriter(path) as w:
+        for i in range(6):
+            img = rng.randint(0, 255, (8, 10, 3), np.uint8)
+            w.write(records.encode_image_example(img, i % 3))
+    records.write_size_file(6, None, path, "image", 1, None)
+    return path
+
+
+def test_compute_image_mean(tmp_path, packed_images):
+    from video_learning_tpu.tools import compute_image_mean as cim
+    means = cim.main(["prog", packed_images])
+    assert len(means) == 3
+    assert os.path.exists(packed_images + ".mean.pickle")
+    txt = open(packed_images + ".mean.txt").read().split()
+    assert len(txt) == 3
+    # verify against direct computation
+    r = records.RecordReader(packed_images)
+    acc = np.mean([r.read_at(i)[1] for i in range(6)], axis=(0, 1, 2))
+    assert np.allclose(means, acc, atol=1e-6)
+
+
+def test_check_serialized_data(packed_images):
+    from video_learning_tpu.tools import check_serialized_data as csd
+    out = csd.check(packed_images)
+    assert out["count"] == 6
+    assert out["shapes"] == {(8, 10, 3): 6}
+
+
+def test_check_serialized_data_mismatch(tmp_path, packed_images):
+    from video_learning_tpu.tools import check_serialized_data as csd
+    from video_learning_tpu.utils import FrameworkError
+    records.write_size_file(99, None, packed_images, "image", 1, None)
+    with pytest.raises(FrameworkError):
+        csd.check(packed_images)
+
+
+def test_examine_dataset(tmp_path):
+    from video_learning_tpu.tools import examine_dataset as ed
+    p = tmp_path / "paths.txt"
+    p.write_text("a 0\nb 0\nc 1\nd 0\n")
+    stats = ed.examine(str(p))
+    assert stats["items"] == 4
+    assert stats["majority_class"] == 0
+    assert stats["zeror_accuracy"] == pytest.approx(0.75)
+
+
+def test_compute_evaluation_stats():
+    from video_learning_tpu.tools.compute_evaluation_stats import prf1
+    preds = [0, 0, 1, 1, 2]
+    labels = [0, 1, 1, 1, 2]
+    stats = prf1(preds, labels, 3)
+    assert stats["accuracy"] == pytest.approx(0.8)
+    assert stats["per_class"]["precision"][0] == pytest.approx(0.5)
+    assert stats["per_class"]["recall"][1] == pytest.approx(2 / 3)
+    assert stats["micro"]["f1"] == pytest.approx(0.8)
+
+
+def test_view_logits_info(tmp_path):
+    from video_learning_tpu.tools import view_logits_info as vli
+    logits = np.zeros((5, 3), np.float32)
+    logits[:3, 1] = 1.0
+    logits[3:, 2] = 1.0
+    p = tmp_path / "l.pickle"
+    with open(p, "wb") as f:
+        pickle.dump(logits, f)
+    out = vli.view(str(p))
+    assert out["rle"] == [(1, 3), (2, 2)]
+    assert out["histogram"] == {1: 3, 2: 2}
+
+
+def test_inspect_and_modify_checkpoint(tmp_path):
+    from video_learning_tpu import checkpoint as ck
+    from video_learning_tpu.tools import modify_checkpoint as mc
+    state = {"params": {"fc": {"w": np.ones((2, 3)), "b": np.zeros(3)}},
+             "step": np.asarray(7)}
+    src = str(tmp_path / "a.ckpt")
+    ck.save_checkpoint(src, state)
+    with open(src + ".snap", "wb") as f:
+        pickle.dump([1, 2, 3], f)
+    names = ck.get_checkpoint_tensor_names(src)
+    assert "params/fc/w" in names and "step" in names
+
+    dst = str(tmp_path / "b.ckpt")
+    mc.modify(src, dst,
+              deletes=["step"],
+              renames=[("params/fc/b", "params/fc/bias")],
+              regex_renames=[(r"^params/", "model/")],
+              creates=[("model/extra", "4,4")])
+    flat = ck.load_flat(dst)
+    assert "step" not in flat
+    assert "model/fc/bias" in flat
+    assert "model/fc/w" in flat
+    assert flat["model/extra"].shape == (4, 4)
+    assert os.path.exists(dst + ".snap")
+
+
+def test_combine_logits_sweep(tmp_path):
+    from video_learning_tpu.tools import combine_logits as cl
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, 4, 20)
+    # run1 perfect, run2 random
+    l1 = np.eye(4)[labels] * 5.0
+    l2 = rng.randn(20, 4)
+    p1, p2 = tmp_path / "validation_a.pickle", tmp_path / "validation_b.pickle"
+    pickle.dump(l1, open(p1, "wb"))
+    pickle.dump(l2, open(p2, "wb"))
+    gt = tmp_path / "gt.txt"
+    gt.write_text("\n".join("vid%d %d" % (i, l)
+                            for i, l in enumerate(labels)) + "\n")
+    sweep = cl.combine([str(p1), str(p2)], [str(gt), str(gt)])
+    # w=1 (all run1) must be perfect
+    best = dict(((w1, w2), a) for w1, w2, a in sweep)
+    assert best[(1.0, 0.0)] == pytest.approx(1.0)
+    assert best[(0.0, 1.0)] < 1.0
+
+
+def test_combine_logits_alignment(tmp_path):
+    from video_learning_tpu.tools import combine_logits as cl
+    # class maps: run uses (b=0, a=1); alignment uses (a=0, b=1)
+    lblmap = tmp_path / "cls.txt"
+    lblmap.write_text("b 0\na 1\n")
+    align = tmp_path / "align.txt"
+    align.write_text("a 0\nb 1\n")
+    logits = np.asarray([[9.0, 1.0], [1.0, 9.0]])  # pred: b, a (old idx)
+    labels = np.asarray([0, 1])  # b, a in old indexing
+    new_logits, new_labels = cl.align_to(
+        logits, labels, cl.load_class_map(str(lblmap))[1],
+        cl.load_class_map(str(align))[0])
+    # label b -> new idx 1; a -> 0
+    assert new_labels.tolist() == [1, 0]
+    # logit columns reordered so argmax still matches the labels
+    assert np.argmax(new_logits, 1).tolist() == [1, 0]
+
+
+def test_combine_logits_intersect(tmp_path):
+    from video_learning_tpu.tools import combine_logits as cl
+    l1 = np.eye(3)[[0, 1, 2]] * 2.0
+    l2 = np.eye(3)[[1, 2]] * 2.0
+    vids = [["a", "b", "c"], ["b", "c"]]
+    labels = [np.asarray([0, 1, 2]), np.asarray([1, 2])]
+    pair, common = cl.intersect_runs(vids, labels, [l1, l2])
+    assert common.tolist() == [1, 2]
+    assert pair[0].shape == (2, 3) and pair[1].shape == (2, 3)
+
+
+def test_combine_runs(tmp_path):
+    from video_learning_tpu.tools import combine_runs as cr
+    # pack a video dataset: 3 items x 2 cpv x 2 fpc
+    path = str(tmp_path / "d.tfrecord")
+    labels_per_item = [0, 1, 2]
+    with records.RecordWriter(path) as w:
+        for item, lab in enumerate(labels_per_item):
+            for _ in range(4):  # 2 clips x 2 frames
+                img = np.full((4, 4, 3), item, np.uint8)
+                w.write(records.encode_image_example(img, lab))
+    records.write_size_file(3, [2, 2, 2], path, "video", 1, 2)
+
+    run1 = tmp_path / "run1"
+    run1.mkdir()
+    good = np.eye(3)[labels_per_item] * 3.0
+    pickle.dump(good, open(run1 / "validation_logits_x.total", "wb"))
+    run2 = tmp_path / "run2"
+    run2.mkdir()
+    bad = np.eye(3)[[1, 2, 0]] * 1.0
+    pickle.dump(bad, open(run2 / "validation_logits_x.total", "wb"))
+
+    results = cr.combine([str(run1), str(run2)], path, 3)
+    assert results["amean"] == pytest.approx(1.0)
+    assert "softmax_amean" in results
+    assert results["mean_of_run_accuracies"] == pytest.approx(0.5)
+
+
+def test_lr_calc():
+    from video_learning_tpu.tools import lr_calc
+    lrs = lr_calc.project(0.1, 10, 2, ["staircase", "interval", 5, 0.5],
+                          every=5)
+    assert len(lrs) == 20
+    assert lrs[0] == pytest.approx(0.1)
+    assert lrs[5] == pytest.approx(0.05)
+    assert lrs[10] == pytest.approx(0.025)
+
+
+def test_caption_vocab_tools(tmp_path):
+    from video_learning_tpu.tools import caption_vocab_tools as cvt
+    vocab = tmp_path / "v.vocab"
+    vocab.write_text("a\ndog\nUNK\nEOS\nBOS\n")
+    enc = tmp_path / "enc.txt"
+    enc.write_text("img.jpg 0 1\n")
+    out = cvt.annotation_to_words(str(vocab), str(enc))
+    assert out == [("img.jpg", "a dog")]
+    txt = tmp_path / "caps.txt"
+    txt.write_text("img.jpg a dog zebra\n")
+    out = cvt.words_to_vocab_indexes(str(vocab), str(txt))
+    assert out == [("img.jpg", [0, 1, 2])]  # zebra -> UNK (2)
+
+
+def test_audio_spectrograms(tmp_path):
+    from video_learning_tpu.audio import spectrograms as sp
+    # synthesize a 2.5-second 440Hz wav
+    rate = 8000
+    t = np.arange(int(2.5 * rate)) / rate
+    sig = (np.sin(2 * np.pi * 440 * t) * 2000).astype(np.int16)
+    wav_path = tmp_path / "tone.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+    target, count = sp.generate_spectrogram_frames(
+        str(wav_path), str(tmp_path / "specs"), window_sec=1.0)
+    assert count == 2  # two full 1s windows in 2.5s
+    from PIL import Image
+    files = sorted(os.listdir(target))
+    img = np.asarray(Image.open(os.path.join(target, files[0])))
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert img.dtype == np.uint8
+
+
+def test_evaluate_multiple_checkpoints_filter():
+    from video_learning_tpu.tools import evaluate_multiple_checkpoints as emc
+    ckpts = ["x/170101_ep_1_btch_2_gs_2.ckpt",
+             "x/170102_ep_2_btch_2_gs_4.ckpt",
+             "x/170103_ep_3_btch_2_gs_6.ckpt"]
+    assert emc.filter_checkpoints(ckpts, only=[2]) == [ckpts[1]]
+    assert emc.filter_checkpoints(ckpts, omit=[2]) == [ckpts[0], ckpts[2]]
+    assert emc.checkpoint_epoch(ckpts[2]) == 3

@@ -19,6 +19,30 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_platform():
+    """Initialize the JAX backend resiliently.
+
+    The tunnelled TPU plugin in this environment registers its backend
+    lazily and intermittently fails; when the configured platform cannot
+    initialize, fall back to automatic selection and finally to CPU rather
+    than aborting the run.  Returns the list of devices."""
+    import jax
+
+    for attempt, platforms in enumerate((None, "", "cpu")):
+        try:
+            if platforms is not None:
+                jax.config.update("jax_platforms", platforms)
+            devices = jax.devices()
+            if attempt:
+                from video_learning_tpu.utils import warning
+                warning("Configured JAX platform unavailable; using %s"
+                        % devices[0].platform)
+            return devices
+        except RuntimeError:
+            continue
+    error("No JAX backend could be initialized")
+
+
 def make_mesh(mesh_shape=None, devices=None):
     """Build a Mesh.  mesh_shape: {"data": N, "model": M} (model defaults
     to 1; data defaults to all remaining devices)."""

@@ -188,6 +188,8 @@ def _attach_captioning(settings):
 
 
 def main(init_file):
+    from video_learning_tpu.parallel.mesh import init_platform
+    init_platform()
     settings = Settings()
     # parse first so captioning attachment happens before batch calc
     settings.initialize_from_file(init_file)
