@@ -1,0 +1,249 @@
+// Native record IO for the VLR packed-record container.
+//
+// Host-side data loading is the framework's hot CPU path (the TPU consumes
+// batches faster than per-record Python decoding can produce them); this
+// library provides mmap-based, zero-parse batch reads of the VLR format
+// defined in video_learning_tpu/data/records.py:
+//
+//   file      := magic "VLR1" , record*
+//   record    := u32 payload_len , u32 crc32(payload) , payload
+//   image     := u8 kind=0 , u16 h , u16 w , u16 d , u16 nlab ,
+//                i32*nlab , u8[h*w*d]
+//   vector    := u8 kind=1 , u32 dim , u16 nlab , i32*nlab , f32[dim]
+//
+// The ".idx" sidecar (u64 offsets) is used when present; otherwise the
+// file is scanned once at open.  Exposed as a C ABI consumed through
+// ctypes (video_learning_tpu/data/native_io.py).
+//
+// Reference context: replaces the python-side proto parsing of
+// /root/reference/dataset_.py:100-133 on the runtime read path.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr char kMagic[4] = {'V', 'L', 'R', '1'};
+constexpr uint8_t kKindImage = 0;
+constexpr uint8_t kKindVector = 1;
+
+// CRC32 (IEEE, zlib-compatible), table-driven.
+uint32_t crc_table[256];
+bool crc_init_done = false;
+
+void init_crc_table() {
+  if (crc_init_done) return;
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; ++k)
+      c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+    crc_table[i] = c;
+  }
+  crc_init_done = true;
+}
+
+uint32_t crc32_of(const uint8_t* data, size_t len) {
+  init_crc_table();
+  uint32_t c = 0xFFFFFFFFu;
+  for (size_t i = 0; i < len; ++i)
+    c = crc_table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
+  return c ^ 0xFFFFFFFFu;
+}
+
+struct Reader {
+  int fd = -1;
+  const uint8_t* base = nullptr;
+  size_t size = 0;
+  std::vector<uint64_t> offsets;
+  std::string error;
+};
+
+uint32_t read_u32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+uint16_t read_u16(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+
+bool load_index(Reader* r, const std::string& path) {
+  std::string idx_path = path + ".idx";
+  FILE* f = std::fopen(idx_path.c_str(), "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long bytes = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  r->offsets.resize(bytes / 8);
+  size_t got = std::fread(r->offsets.data(), 8, r->offsets.size(), f);
+  std::fclose(f);
+  return got == r->offsets.size();
+}
+
+void scan_offsets(Reader* r) {
+  size_t pos = 4;  // skip magic
+  while (pos + 8 <= r->size) {
+    r->offsets.push_back(pos);
+    uint32_t len = read_u32(r->base + pos);
+    pos += 8 + len;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Opens a record file; returns an opaque handle or nullptr.
+void* vlr_open(const char* path) {
+  Reader* r = new Reader();
+  r->fd = ::open(path, O_RDONLY);
+  if (r->fd < 0) {
+    delete r;
+    return nullptr;
+  }
+  struct stat st;
+  if (fstat(r->fd, &st) != 0) {
+    ::close(r->fd);
+    delete r;
+    return nullptr;
+  }
+  r->size = static_cast<size_t>(st.st_size);
+  r->base = static_cast<const uint8_t*>(
+      mmap(nullptr, r->size, PROT_READ, MAP_PRIVATE, r->fd, 0));
+  if (r->base == MAP_FAILED ||
+      r->size < 4 || std::memcmp(r->base, kMagic, 4) != 0) {
+    if (r->base != MAP_FAILED) munmap(const_cast<uint8_t*>(
+        const_cast<const uint8_t*>(r->base)), r->size);
+    ::close(r->fd);
+    delete r;
+    return nullptr;
+  }
+  if (!load_index(r, path)) scan_offsets(r);
+  // sequential access hint for streaming reads
+  madvise(const_cast<uint8_t*>(r->base), r->size, MADV_SEQUENTIAL);
+  return r;
+}
+
+void vlr_close(void* handle) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (!r) return;
+  munmap(const_cast<uint8_t*>(r->base), r->size);
+  ::close(r->fd);
+  delete r;
+}
+
+int64_t vlr_count(void* handle) {
+  Reader* r = static_cast<Reader*>(handle);
+  return r ? static_cast<int64_t>(r->offsets.size()) : -1;
+}
+
+// Reads `count` consecutive image records starting at `start` into
+// `out_pixels` (count*h*w*d uint8, caller-allocated) and `out_labels`
+// (count*max_labels int32, -1 padded) + `out_nlab` (count int32).
+// verify!=0 enables CRC checking.  Returns 0 on success, else a negative
+// error code: -1 bad handle/range, -2 kind mismatch, -3 shape mismatch,
+// -4 CRC failure, -5 truncated record.
+int vlr_read_images(void* handle, int64_t start, int64_t count,
+                    int32_t h, int32_t w, int32_t d,
+                    uint8_t* out_pixels, int32_t* out_labels,
+                    int32_t* out_nlab, int32_t max_labels, int verify) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (!r || start < 0 ||
+      start + count > static_cast<int64_t>(r->offsets.size()))
+    return -1;
+  const size_t frame_bytes = static_cast<size_t>(h) * w * d;
+  for (int64_t i = 0; i < count; ++i) {
+    const uint64_t off = r->offsets[start + i];
+    if (off + 8 > r->size) return -5;
+    const uint32_t len = read_u32(r->base + off);
+    const uint32_t crc = read_u32(r->base + off + 4);
+    const uint8_t* payload = r->base + off + 8;
+    if (off + 8 + len > r->size) return -5;
+    if (verify && crc32_of(payload, len) != crc) return -4;
+    if (payload[0] != kKindImage) return -2;
+    const uint16_t rh = read_u16(payload + 1);
+    const uint16_t rw = read_u16(payload + 3);
+    const uint16_t rd = read_u16(payload + 5);
+    const uint16_t nlab = read_u16(payload + 7);
+    if (rh != h || rw != w || rd != d) return -3;
+    const uint8_t* labels = payload + 9;
+    const uint8_t* pixels = labels + 4 * nlab;
+    if (9 + 4ul * nlab + frame_bytes > len) return -5;
+    out_nlab[i] = nlab;
+    for (int32_t l = 0; l < max_labels; ++l) {
+      int32_t v = -1;
+      if (l < nlab) std::memcpy(&v, labels + 4 * l, 4);
+      out_labels[i * max_labels + l] = v;
+    }
+    std::memcpy(out_pixels + i * frame_bytes, pixels, frame_bytes);
+  }
+  return 0;
+}
+
+// Vector-record variant: out_values is count*dim float32.
+int vlr_read_vectors(void* handle, int64_t start, int64_t count,
+                     int32_t dim, float* out_values, int32_t* out_labels,
+                     int32_t* out_nlab, int32_t max_labels, int verify) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (!r || start < 0 ||
+      start + count > static_cast<int64_t>(r->offsets.size()))
+    return -1;
+  for (int64_t i = 0; i < count; ++i) {
+    const uint64_t off = r->offsets[start + i];
+    const uint32_t len = read_u32(r->base + off);
+    const uint32_t crc = read_u32(r->base + off + 4);
+    const uint8_t* payload = r->base + off + 8;
+    if (off + 8 + len > r->size) return -5;
+    if (verify && crc32_of(payload, len) != crc) return -4;
+    if (payload[0] != kKindVector) return -2;
+    uint32_t rdim = read_u32(payload + 1);
+    uint16_t nlab = read_u16(payload + 5);
+    if (static_cast<int32_t>(rdim) != dim) return -3;
+    const uint8_t* labels = payload + 7;
+    const uint8_t* values = labels + 4 * nlab;
+    out_nlab[i] = nlab;
+    for (int32_t l = 0; l < max_labels; ++l) {
+      int32_t v = -1;
+      if (l < nlab) std::memcpy(&v, labels + 4 * l, 4);
+      out_labels[i * max_labels + l] = v;
+    }
+    std::memcpy(out_values + i * dim, values, 4ul * dim);
+  }
+  return 0;
+}
+
+// Shape of record `index`: fills kind, h/w/d (or dim in h), nlab.
+int vlr_record_info(void* handle, int64_t index, int32_t* kind,
+                    int32_t* h, int32_t* w, int32_t* d, int32_t* nlab) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (!r || index < 0 ||
+      index >= static_cast<int64_t>(r->offsets.size()))
+    return -1;
+  const uint8_t* payload = r->base + r->offsets[index] + 8;
+  *kind = payload[0];
+  if (payload[0] == kKindImage) {
+    *h = read_u16(payload + 1);
+    *w = read_u16(payload + 3);
+    *d = read_u16(payload + 5);
+    *nlab = read_u16(payload + 7);
+  } else {
+    *h = static_cast<int32_t>(read_u32(payload + 1));
+    *w = 0;
+    *d = 0;
+    *nlab = read_u16(payload + 5);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,52 @@
+"""Interpret-mode correctness tests for the Pallas kernels vs the XLA
+reference implementations (runs on CPU; compiled-mode validation happens on
+real TPU via the bench)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_learning_tpu.models.layers import local_response_normalization
+from video_learning_tpu.ops import pallas_kernels as pk
+
+
+def test_lrn_kernel_matches_reference():
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 7, 7, 96),
+                    jnp.float32)
+    ref = local_response_normalization(x)
+    out = pk.lrn(x, block_rows=64, interpret=True)
+    assert np.allclose(out, ref, atol=1e-5)
+
+
+def test_lrn_kernel_ragged_rows():
+    # rows not divisible by the block: padding path
+    x = jnp.asarray(np.random.RandomState(1).randn(3, 5, 5, 32),
+                    jnp.float32)
+    ref = local_response_normalization(x)
+    out = pk.lrn(x, block_rows=64, interpret=True)
+    assert np.allclose(out, ref, atol=1e-5)
+
+
+def test_lstm_step_kernel_matches_cell():
+    from video_learning_tpu.models.lstm import _cell_step
+    rng = np.random.RandomState(0)
+    B, H = 4, 16
+    xproj = jnp.asarray(rng.randn(B, 4 * H), jnp.float32)
+    h = jnp.asarray(rng.randn(B, H), jnp.float32)
+    c = jnp.asarray(rng.randn(B, H), jnp.float32)
+    wh = jnp.asarray(rng.randn(H, 4 * H), jnp.float32)
+    b = jnp.asarray(rng.randn(4 * H), jnp.float32)
+    ref_h, ref_c = _cell_step(wh, b, xproj, h, c)
+    out_h, out_c = pk.lstm_step(xproj, h, c, wh, b, interpret=True)
+    assert np.allclose(out_h, ref_h, atol=1e-5)
+    assert np.allclose(out_c, ref_c, atol=1e-5)
+
+
+def test_enable_flag_respects_platform():
+    pk.set_enabled(True)
+    try:
+        # tests force the CPU platform; kernels must stay disabled there
+        assert pk.enabled() is False
+    finally:
+        pk.set_enabled(False)

@@ -57,6 +57,8 @@ class Dataset:
         self.id = None
         self.path = None
         self.reader = None
+        self.native_reader = None
+        self._native_shape = None
         self.num_classes = None
         self.frames = []
         self.labels = []
@@ -177,6 +179,7 @@ class Dataset:
             if not os.path.exists(self.path):
                 error("Record file path does not exist: %s" % self.path)
             self.reader = records.RecordReader(self.path)
+            self._open_native_reader()
         self.get_input_data_count()
         self.initialize_imgproc()
         if self.batch_item == defs.batch_item.default:
@@ -205,7 +208,46 @@ class Dataset:
                                         self.mean_scalars)
 
     # ---------------------------------------------------------- record read
+    def _open_native_reader(self):
+        """Attach the C++ batch reader when available and the records are
+        uniformly-shaped images (the packed-video/image common case)."""
+        self.native_reader = None
+        self._native_shape = None
+        try:
+            from video_learning_tpu.data.native_io import NativeReader
+            native = NativeReader(self.path)
+            if len(native):
+                kind, h, w, d, _ = native.record_info(0)
+                if kind == records.KIND_IMAGE:
+                    self.native_reader = native
+                    self._native_shape = (h, w, d)
+                    debug("Native batch reader active for [%s] (%dx%dx%d)"
+                          % (self.id, h, w, d))
+        except Exception as ex:
+            debug("Native reader unavailable for [%s]: %s" % (self.id, ex))
+
+    def _read_frames_native(self, count):
+        pixels, labels, nlab = self.native_reader.read_images(
+            self.record_cursor, count, self._native_shape, max_labels=64)
+        self.record_cursor += count
+        images = list(pixels)
+        out_labels = []
+        for row, n in zip(labels, nlab):
+            vals = row[:n].tolist()
+            out_labels.append(vals[0] if n == 1 else vals)
+        return images, out_labels
+
     def _read_frames(self, count):
+        if self.native_reader is not None:
+            try:
+                return self._read_frames_native(count)
+            except Exception as ex:
+                warning("Native batch read failed (%s); falling back to "
+                        "python reader" % ex)
+                self.native_reader = None
+        return self._read_frames_python(count)
+
+    def _read_frames_python(self, count):
         """Read ``count`` frames at the cursor with bounded-retry corruption
         recovery (dataset_.py:171-230): CRC-verified re-read on failure,
         then a manual source-image fallback."""

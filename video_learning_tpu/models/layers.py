@@ -99,7 +99,11 @@ def local_response_normalization(x, depth_radius=2, bias=1.0, alpha=2e-5,
 
     Implemented as a channel-padded sliding sum — (2r+1) adds the compiler
     fuses with the surrounding elementwise ops; channel counts here are
-    small (96/256) so this is VPU-bound and cheap."""
+    small (96/256) so this is VPU-bound and cheap.  With VLT_USE_PALLAS=1
+    on TPU the fused Pallas kernel (ops/pallas_kernels.lrn) is used."""
+    from video_learning_tpu.ops import pallas_kernels
+    if pallas_kernels.enabled():
+        return pallas_kernels.lrn(x, depth_radius, bias, alpha, beta)
     sq = jnp.square(x)
     pad = [(0, 0)] * (x.ndim - 1) + [(depth_radius, depth_radius)]
     sq = jnp.pad(sq, pad)
