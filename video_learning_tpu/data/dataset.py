@@ -180,7 +180,15 @@ class Dataset:
                 error("Record file path does not exist: %s" % self.path)
             self.reader = records.RecordReader(self.path)
             self._open_native_reader()
-        self.get_input_data_count()
+            self.get_input_data_count()
+        else:
+            # raw disk mode: item count comes from the paths file
+            # (reference dataset_.py:667-696)
+            self.num_items = len(self.frames)
+            if self.max_caption_length is None:
+                self.max_caption_length = max(
+                    (len(l) for l in self.labels), default=1)
+                self.max_sequence_length = self.max_caption_length + 1
         self.initialize_imgproc()
         if self.batch_item == defs.batch_item.default:
             total = self.num_items

@@ -102,17 +102,23 @@ class ImageProcessor:
         both by process() and by the batched on-device preprocessor so the
         two paths consume identical randomness."""
         params = np.zeros((n, 3), dtype=np.int32)
-        if defs.imgproc.rand_crop in self.imgproc and self.crop_h is not None:
-            for i in range(n):
+        rand_crop = (defs.imgproc.rand_crop in self.imgproc and
+                     self.crop_h is not None)
+        center_crop = (defs.imgproc.center_crop in self.imgproc and
+                       self.crop_h is not None)
+        rand_mirror = defs.imgproc.rand_mirror in self.imgproc
+        # draw per-image in the same order process() consumes randomness
+        # (crop_y, crop_x, then mirror; dataset_.py:481-501), so the host
+        # and device paths see identical values from a shared rng
+        for i in range(n):
+            if rand_crop:
                 params[i, 0] = rng.choice(self.crop_h)
                 params[i, 1] = rng.choice(self.crop_w)
-        elif defs.imgproc.center_crop in self.imgproc and \
-                self.crop_h is not None:
-            params[:, 0] = self.crop_h
-            params[:, 1] = self.crop_w
-        if defs.imgproc.rand_mirror in self.imgproc:
-            # reference: mirror when randrange(2) == 0 (dataset_.py:498-500)
-            for i in range(n):
+            elif center_crop:
+                params[i, 0] = self.crop_h
+                params[i, 1] = self.crop_w
+            if rand_mirror:
+                # reference: mirror when randrange(2) == 0
                 params[i, 2] = 1 if not rng.randrange(2) else 0
         return params
 
