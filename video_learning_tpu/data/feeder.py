@@ -175,10 +175,11 @@ class Feeder:
              % (epoch + 1, str(batch_info), global_step))
         return epoch, global_step
 
-    def save(self, state, progress, global_step):
+    def save(self, state, progress, global_step, batch_index=None):
         """Save a parameter checkpoint + ``.snap`` position sidecar
         (reference feeder.py:263-288).  ``state`` is the TrainState pytree
-        handled by checkpoint.py."""
+        handled by checkpoint.py.  ``batch_index`` overrides the feeder's
+        live cursor (needed when batches are prefetched ahead)."""
         from video_learning_tpu import checkpoint as ckpt_mod
         folder = os.path.join(self.run_folder, "checkpoints")
         os.makedirs(folder, exist_ok=True)
@@ -186,7 +187,9 @@ class Feeder:
                             "%s_%s.ckpt" % (get_datetime_str(), progress))
         info("Saving checkpoint to [%s]" % base)
         ckpt_mod.save_checkpoint(base, state)
-        snap = [self.get_batch_index(),
+        if batch_index is None:
+            batch_index = self.get_batch_index()
+        snap = [batch_index,
                 self.train.epoch_index if self.train else 0, global_step]
         with open(base + ".snap", "wb") as f:
             pickle.dump(snap, f)

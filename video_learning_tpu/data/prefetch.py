@@ -1,0 +1,65 @@
+"""Background batch prefetching: overlap host-side record decode with
+device compute.
+
+The reference's hot loop is serial — python decode, then sess.run
+(SURVEY §3.1); here a bounded producer thread keeps ``depth`` prepared
+batches ahead of the training step, so record IO + label framing run while
+the accelerator executes the previous step.  Each yielded item carries the
+batch index *at production time* so checkpoints record the correct resume
+position even while the feeder's cursor runs ahead of consumption.
+"""
+
+import queue
+import threading
+
+from video_learning_tpu.utils import error
+
+
+class _Stop:
+    pass
+
+
+class FeedPrefetcher:
+    """Iterate one epoch's batches with background preparation.
+
+    prepare_fn(feed, batches) -> feed : optional post-processing hook
+    (e.g. caption input framing) applied in the producer thread.
+    """
+
+    def __init__(self, feeder, required_input, prepare_fn=None, depth=2):
+        self.feeder = feeder
+        self.required_input = required_input
+        self.prepare_fn = prepare_fn
+        self.depth = max(1, depth)
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.depth)
+        exc = []
+
+        def produce():
+            try:
+                while self.feeder.loop():
+                    batch_index = self.feeder.get_batch_index()
+                    feed, batches = self.feeder.get_feed(
+                        self.required_input)
+                    if self.prepare_fn is not None:
+                        feed = self.prepare_fn(feed, batches)
+                    q.put((feed, batches, batch_index))
+            except BaseException as ex:  # surfaced on the consumer side
+                exc.append(ex)
+            finally:
+                q.put(_Stop)
+
+        worker = threading.Thread(target=produce, daemon=True,
+                                  name="feed-prefetch")
+        worker.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _Stop:
+                    break
+                yield item
+        finally:
+            worker.join(timeout=30)
+        if exc:
+            raise exc[0]

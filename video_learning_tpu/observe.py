@@ -20,9 +20,12 @@ from video_learning_tpu.utils import info
 class MetricsWriter:
     """Append-only JSONL scalar writer (per-run, per-phase)."""
 
-    def __init__(self, folder, run_id):
+    def __init__(self, folder, run_id, timestamp=None):
         os.makedirs(folder, exist_ok=True)
-        self.path = os.path.join(folder, "metrics_%s.jsonl" % run_id)
+        # timestamped like the run logs so re-runs of the same run_id get
+        # their own metrics stream instead of appending
+        suffix = ("%s_%s" % (run_id, timestamp)) if timestamp else run_id
+        self.path = os.path.join(folder, "metrics_%s.jsonl" % suffix)
         self._f = open(self.path, "a", buffering=1)
 
     def write(self, step, **scalars):

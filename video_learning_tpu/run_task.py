@@ -61,15 +61,17 @@ def _prepare_feed(feed, batches, model):
 
 
 def do_train(settings, engine, feeder, model, writer):
-    """Epoch/batch training loop (reference run_task.py:25-81)."""
+    """Epoch/batch training loop (reference run_task.py:25-81) with a
+    background prefetcher overlapping host decode and device compute."""
+    from video_learning_tpu.data.prefetch import FeedPrefetcher
     required_input = model.required_input
     run_batch_count = 0
     min_train_loss = (1e9, -1)
     info("Starting train")
+    prepare = lambda feed, batches: _prepare_feed(feed, batches, model)
     for _ in range(settings.train.epoch_index, settings.train.epochs):
-        while feeder.loop():
-            feed, batches = feeder.get_feed(required_input)
-            feed = _prepare_feed(feed, batches, model)
+        prefetcher = FeedPrefetcher(feeder, required_input, prepare)
+        for feed, batches, batch_index in prefetcher:
             num_data = [b.visual.shape[0] for b in batches.values()]
             print_iter_info(settings, feeder, num_data,
                             len(feed["labels"]), 0)
@@ -85,10 +87,11 @@ def do_train(settings, engine, feeder, model, writer):
             writer.write(engine.global_step, **metrics)
             if feeder.should_save(run_batch_count):
                 progress = "ep_%d_btch_%d_gs_%d" % (
-                    1 + settings.train.epoch_index, feeder.get_batch_index(),
+                    1 + settings.train.epoch_index, batch_index + 1,
                     engine.global_step)
                 feeder.save(engine.state_dict(), progress,
-                            engine.global_step)
+                            engine.global_step,
+                            batch_index=batch_index + 1)
         if run_batch_count > 0:
             info("Epoch [%d] training run complete."
                  % (1 + settings.train.epoch_index))
@@ -212,7 +215,8 @@ def main(init_file):
     feeder = settings.feeder
 
     model = Model(settings)
-    writer = MetricsWriter(settings.tensorboard_folder, settings.run_id)
+    writer = MetricsWriter(settings.tensorboard_folder, settings.run_id,
+                           settings.timestamp)
 
     if settings.train:
         engine = Train(settings, feeder, model, seed=settings.seed)

@@ -216,6 +216,27 @@ def flush_stdio():
     sys.stderr.flush()
 
 
+def print_tensor(tensor, message):
+    """Debug tensor tap: emits shape + leading values from inside jitted
+    code when DEBUG logging is active (counterpart of the reference's
+    tf.Print injection, utils_.py:195-208; implemented with
+    jax.debug.print so it survives tracing)."""
+    if CustomLogger.get_logging_level() > logging.DEBUG:
+        return tensor
+    if tensor is None:
+        debug("[null tensor] " + message)
+        return tensor
+    try:
+        import jax
+        jax.debug.print(message + " shape={shape} values={vals}",
+                        shape=tensor.shape,
+                        vals=tensor.ravel()[:10] if hasattr(tensor, "ravel")
+                        else tensor)
+    except Exception:
+        debug("%s %s" % (message, getattr(tensor, "shape", tensor)))
+    return tensor
+
+
 def ensure_console_logging(level=logging.INFO):
     """Give standalone CLI tools a console handler so info() output is
     visible without a full run configuration."""
