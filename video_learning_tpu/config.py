@@ -73,6 +73,7 @@ class CaptionOpts:
     eval_type = defs.eval_type.coco
     caption_ground_truth = None
     word_embeddings_file = None
+    beam_width = 4
 
 
 class Settings:
@@ -328,6 +329,7 @@ class Settings:
                 cap.get("eval_type", "defs.eval_type.coco"), defs.eval_type)
             co.caption_ground_truth = cap.get("caption_ground_truth")
             co.word_embeddings_file = cap.get("word_embeddings_file")
+            co.beam_width = int(cap.get("beam_width", 4))
             self.captioning = co
 
         # datasets -> feeder (settings_.py:302-366)

@@ -347,8 +347,17 @@ class Dataset:
         else:
             error("Unknown batch item %s" % self.batch_item)
         visual, params = self._process_images(images)
-        onehot = labels_to_one_hot(labels, self.num_classes)
-        return Batch(visual, onehot, params, raw_labels=labels)
+        batch = Batch(visual, labels_to_one_hot(labels, self.num_classes),
+                      params, raw_labels=labels)
+        if self.embedding_matrix is not None:
+            # video description: per-clip caption labels
+            from video_learning_tpu.data import captions
+            batch.caption = captions.labels_to_words(
+                labels, self.embedding_matrix, self.vocabulary,
+                self.num_classes, self.max_sequence_length,
+                self.include_labels, self.do_padding)
+            batch.labels = batch.caption["onehot_labels"]
+        return batch
 
     def _next_batch_image(self):
         count = self.batches[self.batch_index]

@@ -59,7 +59,9 @@ class defs:
     decay = _Group("decay", ["exp", "staircase"])
     periodicity = _Group("periodicity", ["interval", "drops"])
     label_type = _Group("label_type", ["single", "multiple"])
-    caption_search = _Group("caption_search", ["max"])
+    # "max" = greedy argmax (the only reference mode); "beam" is a
+    # TPU-native addition (batched beam search, models/lstm.py)
+    caption_search = _Group("caption_search", ["max", "beam"])
     eval_type = _Group("eval_type", ["coco"])
     return_type = _Group("return_type", ["argmax_index", "standard"])
     imgproc = _Group(

@@ -236,3 +236,104 @@ def _pad_to(x, dim):
     if cur > dim:
         return x[..., :dim]
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, dim - cur)])
+
+
+# ------------------------------------------------------------- beam search
+def beam_decode(params, out_fc_params, visual, embedding_matrix, bos_index,
+                eos_index, sequence_len, num_hidden, visual_mode,
+                beam_width=4, length_norm=0.0):
+    """Batched beam-search caption decoding — a TPU-native extension
+    beyond the reference's greedy-only search (defs.caption_search.max is
+    the reference's sole mode, defs_.py:97-98).
+
+    One `lax.scan` over time; per step all B*K beams run through the cell
+    as one batch, `top_k` over (K * V) continuation scores selects the
+    next beams, and states/tokens gather along the beam axis.  Finished
+    beams (emitted EOS) are frozen: only an EOS continuation with
+    unchanged score is allowed.
+
+    visual: (B, D) visual conditioning; modes: state_bias / input_concat.
+    Returns (B, sequence_len) int32 tokens of each batch item's best beam.
+    """
+    from video_learning_tpu.models.layers import fc_apply
+
+    num_layers = len(params["cells"])
+    emb = embedding_matrix
+    V = emb.shape[0]
+    B = visual.shape[0]
+    K = beam_width
+    NEG = -1e9
+
+    def expand(x):  # (B, ...) -> (B*K, ...)
+        return jnp.repeat(x, K, axis=0)
+
+    if visual_mode == defs.rnn_visual_mode.state_bias:
+        states = state_from_vector(expand(visual), num_layers)
+        vis_k = None
+    elif visual_mode == defs.rnn_visual_mode.input_concat:
+        states = zero_state(B * K, num_hidden, num_layers)
+        vis_k = expand(visual)
+    else:
+        error("beam_decode supports state_bias/input_concat, got [%s]"
+              % visual_mode)
+
+    def cell_forward(x, cs, hs):
+        seq_in = x
+        new_cs, new_hs = [], []
+        for l, layer in enumerate(params["cells"]):
+            d = seq_in.shape[-1]
+            wx, wh = _split_kernel(layer, d)
+            xproj = jnp.dot(seq_in, wx, preferred_element_type=jnp.float32)
+            new_h, new_c = _cell_step(wh, layer["b"], xproj, hs[l], cs[l])
+            new_cs.append(new_c)
+            new_hs.append(new_h)
+            seq_in = new_h
+        return seq_in, jnp.stack(new_cs), jnp.stack(new_hs)
+
+    cs0 = jnp.stack([s[0] for s in states])   # (L, B*K, H)
+    hs0 = jnp.stack([s[1] for s in states])
+    word0 = jnp.broadcast_to(emb[bos_index][None, :], (B * K, emb.shape[1]))
+    # only beam 0 is live initially (all beams identical otherwise)
+    scores0 = jnp.tile(jnp.asarray([0.0] + [NEG] * (K - 1)), (B,))
+    finished0 = jnp.zeros((B * K,), bool)
+    tokens0 = jnp.zeros((B * K, sequence_len), jnp.int32)
+
+    def step(carry, t):
+        cs, hs, word_vec, scores, finished, tokens = carry
+        x = word_vec if vis_k is None else \
+            jnp.concatenate([word_vec, vis_k], axis=1)
+        out, new_cs, new_hs = cell_forward(x, cs, hs)
+        logits = fc_apply(out_fc_params, out)
+        logp = jax.nn.log_softmax(logits, axis=-1)          # (B*K, V)
+        # finished beams may only continue with EOS at zero cost
+        eos_only = jnp.full((V,), NEG).at[eos_index].set(0.0)
+        logp = jnp.where(finished[:, None], eos_only[None, :], logp)
+        cand = scores[:, None] + logp                        # (B*K, V)
+        cand = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(cand, K)         # (B, K)
+        beam_idx = top_idx // V                              # within-item
+        word_idx = top_idx % V
+        flat_src = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)
+        new_cs = new_cs[:, flat_src, :]
+        new_hs = new_hs[:, flat_src, :]
+        tokens = tokens[flat_src]
+        tokens = tokens.at[:, t].set(word_idx.reshape(-1))
+        finished = finished[flat_src] | \
+            (word_idx.reshape(-1) == eos_index)
+        new_word = emb[word_idx.reshape(-1)]
+        return (new_cs, new_hs, new_word, top_scores.reshape(-1),
+                finished, tokens), None
+
+    (cs, hs, _, scores, finished, tokens), _ = jax.lax.scan(
+        step, (cs0, hs0, word0, scores0, finished0, tokens0),
+        jnp.arange(sequence_len))
+
+    scores = scores.reshape(B, K)
+    tokens = tokens.reshape(B, K, sequence_len)
+    if length_norm > 0:
+        lengths = jnp.sum(
+            jnp.cumprod(tokens != eos_index, axis=-1), axis=-1) + 1
+        scores = scores / jnp.power(lengths.astype(jnp.float32),
+                                    length_norm)
+    best = jnp.argmax(scores, axis=1)
+    return tokens[jnp.arange(B), best]

@@ -121,8 +121,12 @@ class Model:
                 debug("Resolved pipeline input [%s] for [%s]"
                       % (input_name, pname))
 
+            # only the final pipeline becomes the captioner (its logits
+            # are the run's output, reference model.py:157-162);
+            # intermediate LSTM pipelines stay encoders
+            is_last = pname == self.settings.pipeline_names[-1]
             caption = (net.classifier == defs.classifier.lstm and
-                       self.caption_dataset is not None)
+                       self.caption_dataset is not None and is_last)
             spec = {"name": pname, "net": net, "sources": sources,
                     "caption": caption}
             self.specs.append(spec)
@@ -390,6 +394,14 @@ class Model:
                                       self.compute_dtype)
         if decode:
             emb = jnp.asarray(dset.embedding_matrix)
+            cap_opts = self.settings.captioning
+            if cap_opts is not None and \
+                    cap_opts.caption_search == defs.caption_search.beam:
+                return lstm_mod.beam_decode(
+                    p["lstm"], p["output_fc"], visual, emb,
+                    dset.vocabulary.index("BOS"),
+                    dset.vocabulary.index("EOS"), T, num_hidden, mode,
+                    beam_width=cap_opts.beam_width)
             return lstm_mod.greedy_decode(
                 p["lstm"], p["output_fc"], visual, emb,
                 dset.vocabulary.index("BOS"), T, num_hidden, mode)
