@@ -76,15 +76,14 @@ def test_produce_vocab_embeddings(tmp_path):
     assert matrix[2:].max() <= 0.6 + 1e-6
 
 
-def test_produce_vocab_embeddings_missing_strict(tmp_path):
+def test_produce_vocab_embeddings_missing_strict(tmp_path, monkeypatch):
     from video_learning_tpu.tools import produce_vocab_embeddings as pve
     from video_learning_tpu.utils import FrameworkError
     vocab_file = tmp_path / "v.vocab"
     vocab_file.write_text("dog\nzebra\nUNK\nEOS\nBOS\n")
     emb_file = tmp_path / "glove.txt"
     emb_file.write_text("dog 0.1 0.2\n")
-    import os
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)
     with pytest.raises(FrameworkError):
         pve.produce(str(vocab_file), str(emb_file),
                     randomize_missing_embeddings=False)

@@ -1,0 +1,193 @@
+"""Robustness + cadence tests: corruption recovery, checkpoint pruning,
+save cadence, LR schedule golden values, multi-label classification."""
+
+import os
+import pickle
+import random
+
+import numpy as np
+import pytest
+
+from video_learning_tpu.data import records
+from video_learning_tpu.data.dataset import Dataset
+from video_learning_tpu.defs import defs
+
+
+# ------------------------------------------------------ corruption recovery
+def _image_dataset(tmp_path, n=4, corrupt_idx=None):
+    path = str(tmp_path / "d.tfrecord")
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (8, 8, 3), np.uint8) for _ in range(n)]
+    with records.RecordWriter(path) as w:
+        for i, im in enumerate(imgs):
+            w.write(records.encode_image_example(im, i % 2))
+    if corrupt_idx is not None:
+        offsets = np.fromfile(path + ".idx", np.uint64)
+        raw = bytearray(open(path, "rb").read())
+        # trash the record length header so even unverified reads fail
+        pos = int(offsets[corrupt_idx])
+        raw[pos:pos + 4] = (2 ** 31 - 1).to_bytes(4, "little")
+        open(path, "wb").write(bytes(raw))
+    base = str(tmp_path / "d")
+    with open(base, "w") as f:
+        for i in range(n):
+            f.write("%s %d\n" % (tmp_path / ("src%d.jpg" % i), i % 2))
+    return base, imgs
+
+
+def test_corruption_manual_fallback(tmp_path):
+    """A destroyed record falls back to re-reading the source image
+    (reference dataset_.py:233-241)."""
+    from PIL import Image
+    base, imgs = _image_dataset(tmp_path, corrupt_idx=1)
+    # write the fallback source image for index 1
+    fallback = np.random.RandomState(9).randint(0, 255, (8, 8, 3),
+                                                np.uint8)
+    Image.fromarray(fallback).save(tmp_path / "src1.jpg", quality=100)
+    records.write_size_file(4, None, str(tmp_path / "d.tfrecord"),
+                            "image", 1, None)
+    d = Dataset()
+    d.initialize("c", base, None, None, (8, 8, 3), [], None,
+                 defs.data_format.tfrecord, "jpg", defs.batch_item.default,
+                 2, defs.dataset_tag.main, 2)
+    d.calculate_batches(4, defs.input_mode.image)
+    d.native_reader = None  # exercise the python retry path
+    batch = d.get_next_batch()
+    assert batch.visual.shape == (4, 8, 8, 3)
+    # record 0 is intact
+    assert np.array_equal(batch.visual[0].astype(np.uint8), imgs[0])
+
+
+def test_corruption_unrecoverable_raises(tmp_path):
+    from video_learning_tpu.utils import FrameworkError
+    base, _ = _image_dataset(tmp_path, corrupt_idx=2)
+    records.write_size_file(4, None, str(tmp_path / "d.tfrecord"),
+                            "image", 1, None)
+    d = Dataset()
+    d.initialize("c", base, None, None, (8, 8, 3), [], None,
+                 defs.data_format.tfrecord, "jpg", defs.batch_item.default,
+                 2, defs.dataset_tag.main, 2)
+    d.calculate_batches(4, defs.input_mode.image)
+    d.native_reader = None
+    with pytest.raises(Exception):
+        d.get_next_batch()  # no src2.jpg on disk -> unrecoverable
+
+
+# ------------------------------------------------------ checkpoint pruning
+def test_checkpoint_pruning_max_to_keep(tmp_path):
+    from video_learning_tpu.data.feeder import Feeder
+    import time
+
+    class T:
+        epochs = 3
+        epoch_index = 0
+        batch_size = 1
+
+    feeder = Feeder(defs.input_mode.video, [defs.phase.train], (T(), None),
+                    1.0, str(tmp_path), False)
+    feeder.phase = defs.phase.train
+    feeder.num_saves = 2
+    feeder.save_interval = 1
+    feeder.train = T()
+    feeder.datasets = {defs.phase.train: []}
+    feeder.get_batch_index = lambda: 0
+    for step in range(4):
+        feeder.save({"params": {"w": np.ones(3)}}, "ep_%d" % step, step)
+        time.sleep(0.01)
+    remaining = [f for f in os.listdir(tmp_path / "checkpoints")
+                 if f.endswith(".ckpt")]
+    assert len(remaining) == 2  # max_to_keep pruning (feeder.py:201)
+    snaps = [f for f in os.listdir(tmp_path / "checkpoints")
+             if f.endswith(".snap")]
+    assert len(snaps) == 2  # sidecars pruned along
+
+
+def test_should_save_cadence():
+    from video_learning_tpu.data.feeder import Feeder
+    feeder = Feeder(defs.input_mode.video, [defs.phase.train],
+                    (object(), None), 1.0, "/tmp", False)
+    feeder.phase = defs.phase.train
+    feeder.save_interval = 3
+    assert not feeder.should_save(1)
+    assert not feeder.should_save(2)
+    assert feeder.should_save(3)
+    assert feeder.should_save(6)
+    feeder.save_interval = -1
+    assert not feeder.should_save(3)
+
+
+# --------------------------------------------------------- LR schedule gold
+class _S:
+    pass
+
+
+def _settings(base_lr, epochs, decay):
+    s = _S()
+    s.train = _S()
+    s.train.base_lr = base_lr
+    s.train.epochs = epochs
+    s.train.lr_decay = decay
+    s.run_folder = None
+    s.run_id = "t"
+    return s
+
+
+def test_lr_schedule_staircase_interval():
+    from video_learning_tpu.train import precompute_learning_rates
+    lrs = precompute_learning_rates(
+        _settings(1.0, 1, ["staircase", "interval", 4, 0.5]), 12)
+    assert lrs == [1.0] * 4 + [0.5] * 4 + [0.25] * 4
+
+
+def test_lr_schedule_drops():
+    from video_learning_tpu.train import precompute_learning_rates
+    # 10 batches x 2 epochs = 20 steps, 4 drops -> period ceil(20/4)=5
+    lrs = precompute_learning_rates(
+        _settings(1.0, 2, ["exp", "drops", 4, 0.1]), 10)
+    assert len(lrs) == 20
+    assert lrs[0] == 1.0
+    assert lrs[5] == pytest.approx(0.1)
+    assert lrs[10] == pytest.approx(0.01)
+    assert len(set(lrs)) == 4
+
+
+def test_lr_schedule_offset():
+    from video_learning_tpu.train import precompute_learning_rates
+    # 5th element: drop offset (reference train.py:58,94-96)
+    lrs = precompute_learning_rates(
+        _settings(1.0, 1, ["staircase", "interval", 2, 0.5, 3]), 8)
+    assert lrs[:3] == [1.0, 1.0, 1.0]
+    assert lrs[3] == 1.0  # shifted schedule start
+    assert len(lrs) == 8
+
+
+def test_lr_schedule_none_decay():
+    from video_learning_tpu.train import precompute_learning_rates
+    lrs = precompute_learning_rates(_settings(0.3, 2, None), 5)
+    assert lrs == [0.3] * 10
+
+
+# ------------------------------------------------------- multi-label loss
+def test_multilabel_softmax_ce():
+    from video_learning_tpu.train import softmax_cross_entropy
+    import jax.numpy as jnp
+    logits = jnp.asarray([[2.0, 2.0, -5.0]])
+    multi_hot = jnp.asarray([[1, 1, 0]], jnp.int32)
+    loss = float(softmax_cross_entropy(logits, multi_hot))
+    # -sum over two active labels of log_softmax ~= 2 * log(2) for the
+    # symmetric case (third logit negligible)
+    assert loss == pytest.approx(2 * np.log(2), abs=0.01)
+
+
+def test_greedy_decode_input_bias_mode():
+    import jax
+    from video_learning_tpu.models import lstm as lstm_mod
+    from video_learning_tpu.models.layers import fc_init
+    V, E, H, B, T = 7, 5, 6, 2, 4
+    params = lstm_mod.init(jax.random.PRNGKey(0), E, H, 1)
+    out_fc = fc_init(jax.random.PRNGKey(1), H, V)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (V, E))
+    visual = jax.random.normal(jax.random.PRNGKey(3), (B, E))
+    idx = lstm_mod.greedy_decode(params, out_fc, visual, emb, 0, T, H,
+                                 defs.rnn_visual_mode.input_bias)
+    assert idx.shape == (B, T)
