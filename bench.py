@@ -114,6 +114,23 @@ def build(batch_clips, fpc, raw_hw, crop, num_classes, compute_dtype):
     return s, model, engine
 
 
+def _probe_accelerator(deadline=240):
+    """Run a tiny compile+execute in a subprocess with a hard deadline.
+    The tunnelled TPU in this environment sometimes hangs inside RPCs
+    (uninterruptible by signals); probing out-of-process is the only safe
+    health check before committing the benchmark to the device."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((256, 256));"
+            "print(float((x @ x).sum()))")
+    try:
+        ret = subprocess.run([sys.executable, "-c", code],
+                             timeout=deadline, capture_output=True)
+        return ret.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
@@ -123,10 +140,15 @@ def main():
     ap.add_argument("--fpc", type=int, default=16)
     args = ap.parse_args()
 
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu = args.cpu
+    if not force_cpu and not _probe_accelerator():
+        sys.stderr.write("Accelerator unresponsive; benchmarking on CPU\n")
+        force_cpu = True
     import jax
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from video_learning_tpu.parallel.mesh import init_platform
+    init_platform()
 
     on_cpu = jax.devices()[0].platform == "cpu"
     batch_clips = args.batch_clips or (1 if on_cpu else 32)

@@ -168,3 +168,62 @@ def test_iterative_short_video_compromise():
         strategy=defs.generation_error.compromise, log=log)
     assert len(clips) == 1 and len(clips[0]) == 16
     assert len(log) == 1
+
+
+def test_concatenate_shards(tmp_path):
+    shard_paths = []
+    all_payloads = []
+    for s in range(3):
+        path = str(tmp_path / ("s%d.tfrecord" % s))
+        with records.RecordWriter(path) as w:
+            for i in range(2 + s):
+                vec = np.arange(4, dtype=np.float32) + s * 10 + i
+                all_payloads.append(vec)
+                w.write(records.encode_vector_example(vec, s))
+        shard_paths.append(path)
+    out = str(tmp_path / "merged.tfrecord")
+    records.concatenate(shard_paths, out, remove_shards=True)
+    r = records.RecordReader(out, verify=True)
+    assert len(r) == 9
+    for i, vec in enumerate(all_payloads):
+        _, data, _ = r.read_at(i)
+        assert np.array_equal(data, vec)
+    import os
+    assert not os.path.exists(shard_paths[0])
+
+
+def test_multiprocess_packing(tmp_path):
+    """num_processes > 1 packs via shards; output must be identical in
+    content to the single-writer path."""
+    from PIL import Image
+    from video_learning_tpu.data import serialize as ser
+    paths, labels = [], []
+    rng = np.random.RandomState(0)
+    for i in range(7):
+        p = tmp_path / ("im%d.jpg" % i)
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(
+            p, quality=95)
+        paths.append(str(p))
+        labels.append([i % 3])
+
+    class S:
+        raw_image_shape = (16, 16, 3)
+        num_frames_per_clip = None
+        num_threads = 2
+        num_items_per_thread = 3
+        num_processes = 3
+
+    out_mp = str(tmp_path / "mp.tfrecord")
+    ser.serialize_multiprocess(paths, None, paths, labels, out_mp,
+                               "image", 1, S())
+    out_st = str(tmp_path / "st.tfrecord")
+    S.num_processes = 1
+    ser.serialize_multithread(paths, None, paths, labels, out_st,
+                              "image", 1, S())
+    r1 = records.RecordReader(out_mp, verify=True)
+    r2 = records.RecordReader(out_st, verify=True)
+    assert len(r1) == len(r2) == 7
+    for i in range(7):
+        _, a, la = r1.read_at(i)
+        _, b, lb = r2.read_at(i)
+        assert np.array_equal(a, b) and la == lb

@@ -222,6 +222,33 @@ class RecordReader:
         self._f.close()
 
 
+# ---------------------------------------------------------- concatenation
+def concatenate(shard_paths, out_path, remove_shards=False):
+    """Concatenate VLR shard files into one record file, merging their
+    offset indexes (records are self-contained, so concatenation is a
+    byte-level append with offset shifting).  Enables process-parallel
+    packing: workers write independent shards, the parent merges."""
+    offsets = []
+    with open(out_path, "wb") as out:
+        out.write(MAGIC)
+        pos = len(MAGIC)
+        for shard in shard_paths:
+            shard_offsets = np.fromfile(shard + ".idx", dtype=np.uint64)
+            with open(shard, "rb") as f:
+                magic = f.read(len(MAGIC))
+                if magic != MAGIC:
+                    error("Bad shard magic in %s" % shard)
+                data = f.read()
+            out.write(data)
+            offsets.append(shard_offsets - len(MAGIC) + pos)
+            pos += len(data)
+    np.concatenate(offsets).astype(np.uint64).tofile(out_path + ".idx")
+    if remove_shards:
+        for shard in shard_paths:
+            os.remove(shard)
+            os.remove(shard + ".idx")
+
+
 # ------------------------------------------------------------ size sidecar
 def write_size_file(num_items, clips_per_item, outfile, mode, max_num_labels,
                     num_frames_per_clip):
