@@ -390,6 +390,13 @@ class Settings:
                 image_shape, imgproc, raw_image_shape, data_format,
                 frame_format, batch_item, self.num_classes, tag, read_tries,
                 captioning_config)
+            dset = self.feeder.datasets[dataset_phase][-1]
+            # TPU-native additions: per-epoch reshuffling (random-access
+            # reader makes it free) and device-side preprocessing
+            dset.epoch_shuffle = bool(dataobj.get("epoch_shuffle", False))
+            dset.shuffle_seed = int(dataobj.get("shuffle_seed", self.seed))
+            if "device_preprocess" in dataobj:
+                dset.device_preprocess = bool(dataobj["device_preprocess"])
 
     # ------------------------------------------------------- orchestration
     def configure_logging(self):

@@ -94,6 +94,11 @@ class Dataset:
         self.do_padding = False
         self.eval_type = None
         self.captioning_config = None
+        # per-epoch reshuffling (TPU-native addition)
+        self.epoch_shuffle = False
+        self.shuffle_seed = 0
+        self.index_map = None
+        self._orig_cpv = None
 
     # ------------------------------------------------------------ metadata
     def initialize(self, id, path, mean_image, prepend_folder,
@@ -201,6 +206,8 @@ class Dataset:
         self.batches = [self.batch_size] * num_whole
         if left:
             self.batches.append(left)
+        if self.epoch_shuffle:
+            self._build_epoch_permutation()
         self.tell()
 
     def initialize_imgproc(self):
@@ -235,6 +242,8 @@ class Dataset:
             debug("Native reader unavailable for [%s]: %s" % (self.id, ex))
 
     def _read_frames_native(self, count):
+        if self.index_map is not None:
+            raise RuntimeError("native path bypassed under epoch shuffle")
         pixels, labels, nlab = self.native_reader.read_images(
             self.record_cursor, count, self._native_shape, max_labels=64)
         self.record_cursor += count
@@ -246,7 +255,7 @@ class Dataset:
         return images, out_labels
 
     def _read_frames(self, count):
-        if self.native_reader is not None:
+        if self.native_reader is not None and self.index_map is None:
             try:
                 return self._read_frames_native(count)
             except Exception as ex:
@@ -262,6 +271,8 @@ class Dataset:
         images, labels = [], []
         for k in range(count):
             idx = self.record_cursor + k
+            if self.index_map is not None:
+                idx = int(self.index_map[idx])
             rec = None
             for attempt in range(max(1, self.read_tries)):
                 try:
@@ -414,18 +425,57 @@ class Dataset:
         """Checkpoint-resume to a batch position (dataset_.py:534-538)."""
         self.batch_index = batch_index
         self.epoch_index = epoch_index
+        if self.epoch_shuffle:
+            self._build_epoch_permutation()
         self.record_cursor = self._cursor_for_batch(batch_index)
         if self.reader is not None:
             self.reader.seek(min(self.record_cursor, len(self.reader)))
         info("Restored dataset [%s] to batch %d (record %d)"
              % (self.id, batch_index, self.record_cursor))
 
-    def rewind(self):
+    def rewind(self, next_epoch=False):
         self.batch_index = 0
         self.record_cursor = 0
         self.video_index = 0
+        if next_epoch:
+            self.epoch_index += 1
+        if self.epoch_shuffle:
+            self._build_epoch_permutation()
         if self.reader is not None:
             self.reader.seek(0)
+
+    # ------------------------------------------------- per-epoch shuffling
+    def _build_epoch_permutation(self):
+        """Reshuffle item order for the current epoch (TPU-native
+        improvement: the reference replays the packed record order every
+        epoch, dataset_.py:759-769; the indexed reader makes seeded
+        per-epoch permutations free).  Deterministic in
+        (seed, epoch_index) so resume reproduces the exact stream."""
+        rng = np.random.RandomState(self.shuffle_seed * 100003 +
+                                    self.epoch_index)
+        fpc = self.num_frames_per_clip or 1
+        if self._orig_cpv is None:
+            self._orig_cpv = self.clips_per_video
+        if self.input_mode == defs.input_mode.image or \
+                self.clips_per_video is None:
+            self.index_map = rng.permutation(self.num_items)
+            return
+        cpv = self._orig_cpv
+        starts = np.concatenate(
+            [[0], np.cumsum([c * fpc for c in cpv])[:-1]])
+        if self.batch_item == defs.batch_item.clip:
+            # permute clips
+            clip_starts = np.concatenate(
+                [starts[v] + np.arange(cpv[v]) * fpc
+                 for v in range(len(cpv))])
+            order = rng.permutation(len(clip_starts))
+            self.index_map = np.concatenate(
+                [clip_starts[c] + np.arange(fpc) for c in order])
+        else:
+            order = rng.permutation(len(cpv))
+            self.index_map = np.concatenate(
+                [starts[v] + np.arange(cpv[v] * fpc) for v in order])
+            self.clips_per_video = [cpv[v] for v in order]
 
     def loop(self):
         return self.batch_index < len(self.batches)
@@ -447,9 +497,21 @@ class Dataset:
         return False
 
     def get_image_shape(self):
+        if self.input_mode == defs.input_mode.vectors:
+            return (self._vector_dim(),)
         if self.desired_image_shape is None:
             return self.raw_image_shape
         return self.desired_image_shape
+
+    def _vector_dim(self):
+        """Feature dimension of a vector dataset, probed from record 0."""
+        if getattr(self, "_vec_dim", None) is None:
+            if self.reader is None or not len(self.reader):
+                error("Cannot determine vector dimension for [%s]"
+                      % self.id)
+            _, data, _ = self.reader.read_at(0)
+            self._vec_dim = int(data.shape[-1])
+        return self._vec_dim
 
     def get_embedding_dim(self):
         return int(self.embedding_matrix.shape[-1])

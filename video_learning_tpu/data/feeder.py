@@ -87,9 +87,9 @@ class Feeder:
     def get_datasets(self):
         return self.datasets[self.phase]
 
-    def rewind_datasets(self):
+    def rewind_datasets(self, next_epoch=True):
         for dset in self.datasets[self.phase]:
-            dset.rewind()
+            dset.rewind(next_epoch=next_epoch)
 
     def get_next_batch(self):
         """Advance every active dataset one batch; returns
