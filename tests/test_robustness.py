@@ -191,3 +191,33 @@ def test_greedy_decode_input_bias_mode():
     idx = lstm_mod.greedy_decode(params, out_fc, visual, emb, 0, T, H,
                                  defs.rnn_visual_mode.input_bias)
     assert idx.shape == (B, T)
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint on the frame encoder must not change gradients."""
+    import jax
+    import __graft_entry__ as graft
+    from video_learning_tpu.train import softmax_cross_entropy
+
+    def grads_with(remat):
+        settings, model = graft._flagship()
+        settings.compute_dtype = "float32"
+        settings.remat = remat
+        params = model.init_params(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        feed = {"frames_main_input":
+                rng.randn(8, 67, 67, 3).astype(np.float32)}
+        labels = np.eye(16, dtype=np.int32)[np.arange(2) % 16]
+
+        def loss(p):
+            logits = model.apply(p, feed)
+            return softmax_cross_entropy(logits, labels)
+
+        return jax.jit(jax.grad(loss))(params)
+
+    import jax
+    g0 = grads_with(False)
+    g1 = grads_with(True)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -105,6 +105,7 @@ class Settings:
         # mesh/sharding options (TPU-native addition; defaults single-chip)
         self.mesh_shape = None          # e.g. {"data": 4, "model": 2}
         self.compute_dtype = "bfloat16"
+        self.remat = False              # rematerialize the frame encoder
         self._pipeline_field_cache = []
 
     # ------------------------------------------------------------- helpers
@@ -237,6 +238,7 @@ class Settings:
             self.mesh_shape = dict(config["mesh_shape"])
         if config.get("compute_dtype"):
             self.compute_dtype = str(config["compute_dtype"])
+        self.remat = bool(config.get("remat", False))
 
         # phases + run id (settings_.py:219-239)
         self.phases = defs.check(config["phase"], defs.phase)

@@ -18,8 +18,8 @@ import pickle
 
 from video_learning_tpu.data import dataset as dataset_mod
 from video_learning_tpu.defs import defs
-from video_learning_tpu.utils import (debug, error, get_datetime_str,
-                                      get_run_checkpoints, info, warning)
+from video_learning_tpu.utils import (error, get_datetime_str,
+                                      get_run_checkpoints, info)
 
 
 class Feeder:

@@ -12,9 +12,6 @@ position even while the feeder's cursor runs ahead of consumption.
 import queue
 import threading
 
-from video_learning_tpu.utils import error
-
-
 class _Stop:
     pass
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from video_learning_tpu.defs import defs
-from video_learning_tpu.models.layers import fc_init, truncated_normal
+from video_learning_tpu.models.layers import truncated_normal
 from video_learning_tpu.utils import error
 
 

@@ -36,13 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_learning_tpu.defs import defs
-from video_learning_tpu.models import alexnet, audionet
+from video_learning_tpu.models import alexnet
 from video_learning_tpu.models import lstm as lstm_mod
 from video_learning_tpu.models.layers import (convert_dim_fc_apply,
-                                              convert_dim_fc_init, dropout,
-                                              fc_apply, fc_init)
+                                              convert_dim_fc_init, dropout)
 from video_learning_tpu.ops import fusion
-from video_learning_tpu.utils import debug, error, info, warning
+from video_learning_tpu.utils import debug, error, warning
 
 
 class _InputSource:
@@ -310,9 +309,17 @@ class Model:
 
         # representation
         if net.representation == defs.representation.dcnn:
-            x = alexnet.apply(p["dcnn"], x.astype(jnp.float32),
-                              net.frame_encoding_layer,
-                              compute_dtype=self.compute_dtype)
+            def dcnn_fn(params_dcnn, frames):
+                return alexnet.apply(params_dcnn,
+                                     frames.astype(jnp.float32),
+                                     net.frame_encoding_layer,
+                                     compute_dtype=self.compute_dtype)
+            if getattr(self.settings, "remat", False):
+                # rematerialize the frame encoder's activations in the
+                # backward pass: trades FLOPs for HBM, enabling larger
+                # frame batches (jax.checkpoint)
+                dcnn_fn = jax.checkpoint(dcnn_fn)
+            x = dcnn_fn(p["dcnn"], x)
         elif net.representation == defs.representation.fc:
             x = convert_dim_fc_apply(p["repr_fc"], x, self.compute_dtype)
         elif net.representation != defs.representation.nop:

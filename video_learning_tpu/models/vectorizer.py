@@ -8,8 +8,6 @@ the config system, and carry the two-tier training groups the reference's
 ``Trainable`` base tracked (utils_.py:250-257).
 """
 
-import jax
-
 from video_learning_tpu.models import alexnet, lstm as lstm_mod
 from video_learning_tpu.models.layers import (convert_dim_fc_apply,
                                               convert_dim_fc_init)

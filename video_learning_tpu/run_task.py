@@ -17,7 +17,6 @@ import time
 import jax
 import numpy as np
 
-from video_learning_tpu import checkpoint as ckpt_mod
 from video_learning_tpu.config import Settings
 from video_learning_tpu.data import captions as captions_mod
 from video_learning_tpu.defs import defs
