@@ -222,5 +222,8 @@ class Feeder:
             error("Checkpoint does not exist: %s" % ckpt)
         ignorables = list(ignorable_variable_names or [])
         if self.val:
+            # evaluation needs params only (reference feeder.py:226-227
+            # ignores global_step; optimizer slots likewise)
             ignorables.append(defs.names.global_step)
+            ignorables.append("opt_state_leaves")
         return ckpt_mod.restore_checkpoint(ckpt, state, ignorables)
