@@ -221,3 +221,23 @@ def test_remat_matches_no_remat():
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_greedy_decode_return_type_standard():
+    import jax
+    from video_learning_tpu.models import lstm as lstm_mod
+    from video_learning_tpu.models.layers import fc_init
+    V, E, H, B, T = 7, 5, 6, 2, 4
+    params = lstm_mod.init(jax.random.PRNGKey(0), E, H, 1)
+    out_fc = fc_init(jax.random.PRNGKey(1), H, V)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (V, E))
+    visual = jax.random.normal(jax.random.PRNGKey(3), (B, H))
+    idx, logits = lstm_mod.greedy_decode(
+        params, out_fc, visual, emb, 0, T, H,
+        defs.rnn_visual_mode.state_bias,
+        return_type=defs.return_type.standard)
+    assert idx.shape == (B, T)
+    assert logits.shape == (B, T, V)
+    # emitted indices are the logits' argmax at every step
+    assert np.array_equal(np.argmax(np.asarray(logits), -1),
+                          np.asarray(idx))

@@ -166,3 +166,27 @@ def test_resume_training(packed_tree):
         batch_idx, epoch_idx, gstep = pickle.load(f)
     assert gstep == 4  # 2 epochs x 2 batches total
     assert epoch_idx == 1
+
+
+def test_train_with_device_preprocess(packed_tree):
+    """The production input path: uint8 batches + on-device
+    crop/mean/mirror through the full run_task flow."""
+    from video_learning_tpu import run_task
+    import yaml
+    tmp_path, tree = packed_tree
+    cfg, run_folder = _run_config(tmp_path, tree, "train", epochs=1)
+    import shutil
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+    docs = yaml.safe_load(cfg.read_text())
+    docs["run"]["data"]["tinyvid"]["device_preprocess"] = True
+    docs["run"]["data"]["tinyvid"]["epoch_shuffle"] = True
+    cfg2 = tmp_path / "run_devpre.yml"
+    cfg2.write_text(yaml.safe_dump(docs))
+    run_task.main(str(cfg2))
+    import json
+    tb = run_folder / "tb" / "train"
+    mfile = sorted(tb.glob("metrics_*.jsonl"))[-1]
+    lines = [json.loads(l) for l in open(mfile)]
+    assert len(lines) == 2
+    assert all(np.isfinite(l["loss"]) for l in lines)

@@ -74,6 +74,7 @@ class CaptionOpts:
     caption_ground_truth = None
     word_embeddings_file = None
     beam_width = 4
+    length_norm = 0.0
 
 
 class Settings:
@@ -332,6 +333,7 @@ class Settings:
             co.caption_ground_truth = cap.get("caption_ground_truth")
             co.word_embeddings_file = cap.get("word_embeddings_file")
             co.beam_width = int(cap.get("beam_width", 4))
+            co.length_norm = float(cap.get("length_norm", 0.0))
             self.captioning = co
 
         # datasets -> feeder (settings_.py:302-366)

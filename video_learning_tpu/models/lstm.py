@@ -144,7 +144,7 @@ def evaluate_sequence(params, x, num_hidden, sequence_len, lengths=None,
 # ----------------------------------------------------------- greedy decode
 def greedy_decode(params, out_fc_params, visual, embedding_matrix,
                   bos_index, sequence_len, num_hidden, visual_mode,
-                  state_fc_params=None):
+                  state_fc_params=None, return_type=None):
     """Batched greedy caption decoding (replaces the reference's unrolled
     per-item loops, lstm.py:379-460,630-724).
 
@@ -152,8 +152,11 @@ def greedy_decode(params, out_fc_params, visual, embedding_matrix,
     visual_mode: defs.rnn_visual_mode.{state_bias,input_bias,input_concat}.
     state_fc_params: optional FC mapping visual -> H for state_bias
       (lstm.py:552-564).
-    Returns (B, T) int32 word indices.  For input_bias the first emitted
-    token (from the visual step) is dropped, matching lstm.py:245-252.
+    return_type: defs.return_type.argmax_index (default) returns (B, T)
+      int32 word indices; defs.return_type.standard additionally returns
+      the per-step output logits (B, T, V) (reference lstm.py:183-191
+      vector accumulation).  For input_bias the first emitted step (from
+      the visual input) is dropped, matching lstm.py:245-252.
     """
     from video_learning_tpu.models.layers import fc_apply
 
@@ -215,15 +218,19 @@ def greedy_decode(params, out_fc_params, visual, embedding_matrix,
         word_index = jnp.argmax(logits, axis=1)
         new_word_vec = emb[word_index]
         ncs, nhs = stack_states(new_states)
-        return (ncs, nhs, new_word_vec), word_index
+        return (ncs, nhs, new_word_vec), (word_index, logits)
 
     cs0, hs0 = stack_states(states)
     word0 = jnp.broadcast_to(bos_vec, (batch, emb_dim))
-    (_, _, _), indices = jax.lax.scan(step, (cs0, hs0, word0),
-                                      jnp.arange(steps))
-    indices = jnp.swapaxes(indices, 0, 1)  # (B, steps)
+    (_, _, _), (indices, logits) = jax.lax.scan(
+        step, (cs0, hs0, word0), jnp.arange(steps))
+    indices = jnp.swapaxes(indices, 0, 1)    # (B, steps)
+    logits = jnp.swapaxes(logits, 0, 1)      # (B, steps, V)
     if visual_mode == defs.rnn_visual_mode.input_bias:
         indices = indices[:, 1:]
+        logits = logits[:, 1:]
+    if return_type == defs.return_type.standard:
+        return indices, logits
     return indices
 
 

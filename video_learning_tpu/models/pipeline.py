@@ -408,7 +408,8 @@ class Model:
                     p["lstm"], p["output_fc"], visual, emb,
                     dset.vocabulary.index("BOS"),
                     dset.vocabulary.index("EOS"), T, num_hidden, mode,
-                    beam_width=cap_opts.beam_width)
+                    beam_width=cap_opts.beam_width,
+                    length_norm=cap_opts.length_norm)
             return lstm_mod.greedy_decode(
                 p["lstm"], p["output_fc"], visual, emb,
                 dset.vocabulary.index("BOS"), T, num_hidden, mode)
