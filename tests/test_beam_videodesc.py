@@ -269,3 +269,81 @@ def test_videodesc_encdec(videodesc_fixture):
     run_task.main(str(vcfg))
     results = json.load(open(run_folder / "coco.results.json"))
     assert len(results) == 3
+
+
+def test_beam_length_norm():
+    """Length normalization must not favor EOS-less beams (scored-token
+    count is clipped at sequence_len) and stays a valid selector."""
+    params, out_fc, emb, visual = _decoder_setup(seed=11)
+    T, H = 6, 8
+    for ln in (0.0, 0.7, 1.0):
+        out = lstm_mod.beam_decode(
+            params, out_fc, visual, emb, 0, eos_index=1, sequence_len=T,
+            num_hidden=H, visual_mode=defs.rnn_visual_mode.state_bias,
+            beam_width=3, length_norm=ln)
+        assert out.shape == (3, T)
+
+
+def test_beam_length_norm_config_reaches_decoder(monkeypatch):
+    """captioning.length_norm must flow through the pipeline captioner."""
+    import video_learning_tpu.models.lstm as lstm_module
+    from video_learning_tpu.config import CaptionOpts, Settings, TrainOpts
+    from video_learning_tpu.config import Network
+    from video_learning_tpu.models.pipeline import Model
+    import jax
+
+    class StubDs:
+        tag = "main"
+        clips_per_video = 1
+        num_frames_per_clip = 1
+        max_sequence_length = 4
+        vocabulary = ["a", "UNK", "EOS", "BOS"]
+        embedding_matrix = np.eye(4, 5, dtype=np.float32)
+
+        def get_image_shape(self):
+            return (8,)
+
+        def get_embedding_dim(self):
+            return 5
+
+    class StubFeeder:
+        def get_dataset_by_tag(self, tag):
+            return [StubDs()]
+
+    net = Network()
+    net.input = ["main"]
+    net.input_shape = [None]
+    net.input_fusion = None
+    net.representation = "nop"
+    net.classifier = "lstm"
+    net.lstm_params = [8, 1, "avg"]
+    net.weights_file = None
+    net.frame_fusion = None
+    s = Settings()
+    s.num_classes = 4
+    s.pipelines = {"capt": net}
+    s.pipeline_names = ["capt"]
+    s.feeder = StubFeeder()
+    s.train = TrainOpts()
+    s.phase = "val"
+    s.phases = ["val"]
+    s.compute_dtype = "float32"
+    s.captioning = CaptionOpts()
+    s.captioning.caption_search = "beam"
+    s.captioning.beam_width = 2
+    s.captioning.length_norm = 0.9
+
+    seen = {}
+    orig = lstm_module.beam_decode
+
+    def spy(*args, **kw):
+        seen.update(kw)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(lstm_module, "beam_decode", spy)
+    m = Model(s)
+    params = m.init_params(jax.random.PRNGKey(0))
+    feed = {"capt_main_input": np.random.randn(2, 8).astype(np.float32)}
+    m.apply(params, feed, decode=True)
+    assert seen.get("length_norm") == 0.9
+    assert seen.get("beam_width") == 2

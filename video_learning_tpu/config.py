@@ -334,6 +334,9 @@ class Settings:
             co.word_embeddings_file = cap.get("word_embeddings_file")
             co.beam_width = int(cap.get("beam_width", 4))
             co.length_norm = float(cap.get("length_norm", 0.0))
+            if co.length_norm < 0:
+                error("captioning.length_norm must be >= 0 (got %s)"
+                      % co.length_norm)
             self.captioning = co
 
         # datasets -> feeder (settings_.py:302-366)

@@ -154,10 +154,20 @@ def greedy_decode(params, out_fc_params, visual, embedding_matrix,
       (lstm.py:552-564).
     return_type: defs.return_type.argmax_index (default) returns (B, T)
       int32 word indices; defs.return_type.standard additionally returns
-      the per-step output logits (B, T, V) (reference lstm.py:183-191
-      vector accumulation).  For input_bias the first emitted step (from
-      the visual input) is dropped, matching lstm.py:245-252.
+      the per-step output logits (B, T, V).  Note: the reference's
+      'standard' mode accumulates the argmax words' EMBEDDINGS plus
+      states (lstm.py:183-191,242-253); logits are returned here instead
+      as the strictly more informative quantity — embeddings are
+      recoverable as embedding_matrix[argmax(logits, -1)].  For
+      input_bias the first emitted step (from the visual input) is
+      dropped, matching lstm.py:245-252.
     """
+    if return_type is None:
+        return_type = defs.return_type.argmax_index
+    if return_type not in defs.return_type:
+        # the reference errors on undefined return types (lstm.py:192-193)
+        error("Undefined lstm return type [%s]" % return_type)
+    want_logits = return_type == defs.return_type.standard
     from video_learning_tpu.models.layers import fc_apply
 
     num_layers = len(params["cells"])
@@ -218,18 +228,21 @@ def greedy_decode(params, out_fc_params, visual, embedding_matrix,
         word_index = jnp.argmax(logits, axis=1)
         new_word_vec = emb[word_index]
         ncs, nhs = stack_states(new_states)
-        return (ncs, nhs, new_word_vec), (word_index, logits)
+        emit = (word_index, logits) if want_logits else word_index
+        return (ncs, nhs, new_word_vec), emit
 
     cs0, hs0 = stack_states(states)
     word0 = jnp.broadcast_to(bos_vec, (batch, emb_dim))
-    (_, _, _), (indices, logits) = jax.lax.scan(
+    (_, _, _), emitted = jax.lax.scan(
         step, (cs0, hs0, word0), jnp.arange(steps))
+    indices, logits = emitted if want_logits else (emitted, None)
     indices = jnp.swapaxes(indices, 0, 1)    # (B, steps)
-    logits = jnp.swapaxes(logits, 0, 1)      # (B, steps, V)
     if visual_mode == defs.rnn_visual_mode.input_bias:
         indices = indices[:, 1:]
-        logits = logits[:, 1:]
-    if return_type == defs.return_type.standard:
+    if want_logits:
+        logits = jnp.swapaxes(logits, 0, 1)  # (B, steps, V)
+        if visual_mode == defs.rnn_visual_mode.input_bias:
+            logits = logits[:, 1:]
         return indices, logits
     return indices
 
@@ -338,8 +351,12 @@ def beam_decode(params, out_fc_params, visual, embedding_matrix, bos_index,
     scores = scores.reshape(B, K)
     tokens = tokens.reshape(B, K, sequence_len)
     if length_norm > 0:
-        lengths = jnp.sum(
-            jnp.cumprod(tokens != eos_index, axis=-1), axis=-1) + 1
+        # scored tokens per beam: words before EOS plus the EOS itself;
+        # beams that never emitted EOS scored exactly sequence_len tokens
+        # (clip, so unfinished beams aren't favored by an inflated length)
+        lengths = jnp.minimum(
+            jnp.sum(jnp.cumprod(tokens != eos_index, axis=-1), axis=-1)
+            + 1, sequence_len)
         scores = scores / jnp.power(lengths.astype(jnp.float32),
                                     length_norm)
     best = jnp.argmax(scores, axis=1)

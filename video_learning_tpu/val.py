@@ -23,7 +23,8 @@ import jax
 import numpy as np
 
 from video_learning_tpu.defs import defs
-from video_learning_tpu.ops.preprocess import make_preprocessor
+from video_learning_tpu.ops.preprocess import make_preprocessor, \
+    supports_device_path
 from video_learning_tpu.utils import (debug, duplicates, error, info,
                                       warning)
 
@@ -61,6 +62,9 @@ class Validation:
             dsets = self.settings.feeder.get_dataset_by_tag(tag)
             if dsets and dsets[0].device_preprocess and \
                     dsets[0].processor is not None:
+                if not supports_device_path(dsets[0].imgproc):
+                    error("Device preprocessing unsupported for imgproc %s"
+                          % dsets[0].imgproc)
                 self._preprocessors[key] = make_preprocessor(
                     dsets[0].processor)
 
