@@ -241,3 +241,45 @@ def test_greedy_decode_return_type_standard():
     # emitted indices are the logits' argmax at every step
     assert np.array_equal(np.argmax(np.asarray(logits), -1),
                           np.asarray(idx))
+
+
+def test_clip_grads_per_tensor():
+    import jax
+    import jax.numpy as jnp
+    from video_learning_tpu.train import _clip_per_tensor_norm
+    tx = _clip_per_tensor_norm(1.0)
+    grads = {"a": jnp.asarray([3.0, 4.0]),      # norm 5 -> scaled to 1
+             "b": jnp.asarray([0.3, 0.4])}      # norm .5 -> untouched
+    out, _ = tx.update(grads, tx.init(grads))
+    assert np.isclose(float(jnp.linalg.norm(out["a"])), 1.0)
+    assert np.allclose(np.asarray(out["b"]), [0.3, 0.4])
+
+
+def test_batch_geometry_growth_and_mask():
+    from video_learning_tpu.batching import BatchGeometry
+    g = BatchGeometry()
+    # ragged first batch (e.g. resume onto the final batch)
+    f1 = {"labels": np.ones((2, 3)), "x": np.ones((4, 5))}
+    out, n_valid, padding = g.pad_feed(f1)
+    assert n_valid == 2 and padding == 0
+    # full batch afterwards grows the geometry instead of erroring
+    f2 = {"labels": np.ones((5, 3)), "x": np.ones((10, 5))}
+    out, n_valid, padding = g.pad_feed(f2)
+    assert out["labels"].shape == (5, 3)
+    # then ragged again pads up with a correct mask
+    f3 = {"labels": np.ones((3, 3)), "x": np.ones((6, 5))}
+    out, n_valid, padding = g.pad_feed(f3)
+    assert out["labels"].shape == (5, 3)
+    assert out["x"].shape == (10, 5)
+    assert padding == 2
+    assert out["label_mask"].tolist() == [1, 1, 1, 0, 0]
+
+
+def test_batch_geometry_preserves_caption_mask():
+    from video_learning_tpu.batching import BatchGeometry
+    g = BatchGeometry()
+    feed = {"labels": np.ones((4, 3)),
+            "label_mask": np.asarray([1.0, 0.0, 1.0, 0.0])}
+    out, _, _ = g.pad_feed(feed)
+    # intra-caption padding zeros must survive (was overwritten before)
+    assert out["label_mask"].tolist() == [1, 0, 1, 0]

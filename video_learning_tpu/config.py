@@ -305,6 +305,9 @@ class Settings:
                 cn = obj.get("clip_norm")
                 tr.clip_norm = (None if cn in (None, "None")
                                 else float(cn))
+                cg = parse_seq(obj.get("clip_grads"))
+                tr.clip_grads = (None if not cg or cg == [None]
+                                 else (float(cg[0]), float(cg[1])))
                 tr.dropout_keep_prob = float(obj.get("dropout_keep_prob", 0.5))
                 self.train = tr
             if phase == defs.phase.val:

@@ -187,9 +187,25 @@ class Dataset:
             self._open_native_reader()
             self.get_input_data_count()
         else:
-            # raw disk mode: item count comes from the paths file
-            # (reference dataset_.py:667-696)
+            # raw disk mode: item count comes from the paths file and the
+            # input mode from the paths' suffixes (reference
+            # dataset_.py:667-696; the reference never resolves these for
+            # raw data — a latent crash fixed here)
             self.num_items = len(self.frames)
+            if self.frames and self.frame_format:
+                suffix = "." + self.frame_format.lower()
+                self.input_mode = (defs.input_mode.image
+                                   if self.frames[0].lower().endswith(suffix)
+                                   else defs.input_mode.video)
+            else:
+                self.input_mode = defs.input_mode.image
+            if self.input_mode == defs.input_mode.video:
+                if not self.num_frames_per_clip:
+                    error("Raw video datasets need frames-per-clip "
+                          "metadata; pack the data (data_format tfrecord) "
+                          "or provide a .size sidecar.")
+                # raw video reads one clip per video (dataset_.py:433-441)
+                self.clips_per_video = [1] * self.num_items
             if self.max_caption_length is None:
                 self.max_caption_length = max(
                     (len(l) for l in self.labels), default=1)
@@ -391,12 +407,12 @@ class Dataset:
         start = self.batch_index * self.batch_size
         images, labels = [], []
         if self.input_mode == defs.input_mode.video:
-            for videopath in self.frames[start:start + count]:
+            for j, videopath in enumerate(self.frames[start:start + count]):
                 for i in range(self.num_frames_per_clip):
                     impath = "%s%04d.%s" % (videopath, 1 + i,
                                             self.frame_format)
                     images.append(read_image(impath))
-                labels.append([int(x) for x in self.labels[start]])
+                labels.append([int(x) for x in self.labels[start + j]])
         else:
             for j, impath in enumerate(self.frames[start:start + count]):
                 images.append(read_image(impath))

@@ -27,13 +27,16 @@ from video_learning_tpu.utils import elapsed_str, error, info
 from video_learning_tpu.val import Validation
 
 
-def print_iter_info(settings, feeder, num_data, num_labels, padding):
+def print_iter_info(settings, feeder, num_data, num_labels, padding,
+                    batch_index=None):
     dataset = feeder.datasets[settings.phase][0]
+    if batch_index is None:
+        batch_index = dataset.batch_index
     padinfo = " (%d padding)" % padding if padding > 0 else ""
     epoch_str = "" if settings.val else "epoch: %2d/%2d," % (
         settings.train.epoch_index + 1, settings.train.epochs)
     info("Mode: [%s], %s batch %4d / %4d : %s data%s, %s labels"
-         % (settings.phase, epoch_str, dataset.batch_index,
+         % (settings.phase, epoch_str, batch_index,
             len(dataset.batches), str(num_data), padinfo, str(num_labels)))
 
 
@@ -72,8 +75,11 @@ def do_train(settings, engine, feeder, model, writer):
         prefetcher = FeedPrefetcher(feeder, required_input, prepare)
         for feed, batches, batch_index in prefetcher:
             num_data = [b.visual.shape[0] for b in batches.values()]
+            # log the production-time index: the prefetch thread advances
+            # the feeder's live cursor ahead of the batch being trained
             print_iter_info(settings, feeder, num_data,
-                            len(feed["labels"]), 0)
+                            len(feed["labels"]), 0,
+                            batch_index=batch_index + 1)
             run_batch_count += 1
             metrics = engine.run_step(feed)
             settings.global_step = engine.global_step
@@ -111,36 +117,24 @@ def do_train(settings, engine, feeder, model, writer):
 
 def do_test(settings, val, params, feeder, model, writer):
     """Validation loop (reference run_task.py:84-114)."""
+    from video_learning_tpu.batching import BatchGeometry
     tic = time.time()
     required_input = model.required_input
-    target_rows = {}
+    geometry = BatchGeometry()
     is_caption = model.caption_dataset is not None
     caption_rows = []
     while feeder.loop():
         feed, batches = feeder.get_feed(required_input)
         feed = _prepare_feed(feed, batches, model)
-        labels = feed["labels"]
-        n_valid = labels.shape[0]
-        # pad ragged final batches to the compiled geometry
-        if not target_rows:
-            target_rows = {k: v.shape[0] for k, v in feed.items()
-                           if hasattr(v, "shape") and v.ndim >= 1}
-        padding = 0
-        for k in list(feed.keys()):
-            v = feed[k]
-            if not hasattr(v, "shape") or v.ndim < 1:
-                continue
-            tgt = target_rows[k]
-            if v.shape[0] < tgt:
-                if k == "labels":
-                    padding = tgt - v.shape[0]
-                feed[k] = np.pad(v, [(0, tgt - v.shape[0])] +
-                                 [(0, 0)] * (v.ndim - 1))
+        feed, n_valid, padding = geometry.pad_feed(feed)
         num_data = [b.visual.shape[0] for b in batches.values()]
         print_iter_info(settings, feeder, num_data, n_valid, padding)
         if is_caption:
-            # one decoded row per batch item; keep only the real items
-            real_items = batches[defs.dataset_tag.main].visual.shape[0]
+            # one decoded row per batch ITEM (for video datasets
+            # visual.shape[0] counts frames, not items — use the caption
+            # framing's item count)
+            main = batches[defs.dataset_tag.main]
+            real_items = len(main.caption["caption_lengths"])
             idx_rows = val.run_forward(params, feed, decode=True)
             dset = model.caption_dataset
             for row in idx_rows[:real_items]:

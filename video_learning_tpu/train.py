@@ -132,10 +132,28 @@ def make_optimizer(settings, lr_array, label_tree=None):
         chain.append(optax.clip_by_global_norm(
             float(settings.train.clip_norm)))
     if getattr(settings.train, "clip_grads", None):
+        # reference clip_grads semantics: each gradient tensor's norm is
+        # capped independently (train.py:175-186 applies
+        # clip_by_global_norm per gradient with the upper bound)
         lo, hi = settings.train.clip_grads
-        chain.append(optax.clip(max(abs(lo), abs(hi))))
+        chain.append(_clip_per_tensor_norm(max(abs(lo), abs(hi))))
     chain.append(tx)
     return optax.chain(*chain)
+
+
+def _clip_per_tensor_norm(max_norm):
+    """Optax transform capping each gradient leaf's own norm."""
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        def clip_leaf(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return g * scale
+        return jax.tree_util.tree_map(clip_leaf, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_label_tree(params, modified_prefixes):
@@ -199,9 +217,11 @@ class Train:
 
         self._preprocessors = self._build_preprocessors()
         self._step_fn = self._compile_step()
-        # static batch geometry (rows per input) established by the first
-        # batch; ragged final batches are padded up to it.
-        self._target_rows = {}
+        # static batch geometry: grows adaptively (see batching.py), so
+        # ragged/variable-cpv batches and ragged-first-batch resumes are
+        # safe at the cost of at most a few recompilations
+        from video_learning_tpu.batching import BatchGeometry
+        self._geometry = BatchGeometry()
 
     # ------------------------------------------------------ preprocessors
     def _build_preprocessors(self):
@@ -291,26 +311,9 @@ class Train:
 
     # ----------------------------------------------------------- padding
     def _pad_feed(self, feed):
-        """Pad every array to the static geometry of the first (full)
-        batch and emit a label validity mask."""
-        out = {}
-        if not self._target_rows:
-            for k, v in feed.items():
-                self._target_rows[k] = v.shape[0]
-        n_valid = feed["labels"].shape[0]
-        for k, v in feed.items():
-            target = self._target_rows[k]
-            if v.shape[0] < target:
-                pad = [(0, target - v.shape[0])] + \
-                    [(0, 0)] * (v.ndim - 1)
-                v = np.pad(v, pad)
-            elif v.shape[0] > target:
-                error("Batch for [%s] larger than the compiled geometry "
-                      "(%d > %d)" % (k, v.shape[0], target))
-            out[k] = v
-        mask = np.zeros((self._target_rows["labels"],), np.float32)
-        mask[:n_valid] = 1.0
-        out["label_mask"] = mask
+        """Pad to the adaptive static geometry; preserves any
+        caller-provided label_mask (caption word-grid validity)."""
+        out, _, _ = self._geometry.pad_feed(feed)
         return out
 
     def _shard_feed(self, feed):
