@@ -70,7 +70,12 @@ def do_train(settings, engine, feeder, model, writer):
     run_batch_count = 0
     min_train_loss = (1e9, -1)
     info("Starting train")
-    prepare = lambda feed, batches: _prepare_feed(feed, batches, model)
+    def prepare(feed, batches):
+        # runs in the prefetch thread: caption framing + padding + the
+        # host->device transfer all overlap the previous step's compute
+        feed = _prepare_feed(feed, batches, model)
+        return engine.prepare_device_feed(feed)
+
     for _ in range(settings.train.epoch_index, settings.train.epochs):
         prefetcher = FeedPrefetcher(feeder, required_input, prepare)
         for feed, batches, batch_index in prefetcher:

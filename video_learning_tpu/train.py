@@ -327,10 +327,21 @@ class Train:
         return out
 
     # ------------------------------------------------------------ public
-    def run_step(self, feed):
-        """One optimizer step on a host feed dict; returns host metrics."""
+    def prepare_device_feed(self, feed):
+        """Pad + transfer a feed to the device.  Safe to call from a
+        prefetch thread so host->device copies overlap the previous
+        step's compute; run_step detects prepared feeds and skips the
+        work."""
         feed = self._pad_feed(feed)
         feed = self._shard_feed(feed)
+        feed["__on_device__"] = True
+        return feed
+
+    def run_step(self, feed):
+        """One optimizer step on a host feed dict; returns host metrics."""
+        if not feed.pop("__on_device__", False):
+            feed = self._pad_feed(feed)
+            feed = self._shard_feed(feed)
         rng = jax.random.fold_in(self.base_rng, self.global_step)
         self.params, self.opt_state, metrics = self._step_fn(
             self.params, self.opt_state, feed,
