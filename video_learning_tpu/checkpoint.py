@@ -41,7 +41,11 @@ def flatten_tree(tree, prefix=""):
 
 def _assign_flat(tree, path_parts, value):
     key = path_parts[0]
-    if isinstance(tree, (list, tuple)):
+    if isinstance(tree, tuple):
+        error("Restore target contains an immutable tuple node at [%s]; "
+              "state pytrees must use lists/dicts (see Train.state_dict, "
+              "which flattens optimizer tuples into a leaf list)." % key)
+    if isinstance(tree, list):
         idx = int(key)
         if len(path_parts) == 1:
             tree[idx] = value

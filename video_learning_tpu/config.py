@@ -430,11 +430,31 @@ class Settings:
         self.read_config(config, init_file)
         info("Initialized run [%s] from file %s" % (self.run_id, init_file))
 
+    def attach_captioning(self):
+        """Wire captioning metadata (vocabulary + embedding matrix) into
+        datasets that declared it, before batch plans are computed."""
+        from video_learning_tpu.data import captions as captions_mod
+        for phase, dsets in self.feeder.datasets.items():
+            for d in dsets:
+                emb_file = None
+                if d.captioning_config is not None:
+                    emb_file = d.captioning_config[0]
+                elif self.captioning is not None:
+                    emb_file = self.captioning.word_embeddings_file
+                if emb_file:
+                    captions_mod.attach_captioning(
+                        d, emb_file,
+                        include_labels=(phase == defs.phase.train),
+                        do_padding=True)
+                    info("Attached captioning to dataset [%s] (V=%d)"
+                         % (d.id, len(d.vocabulary)))
+
     def initialize(self, init_file):
         """Full startup: parse config, copy it into the run folder for
-        provenance, initialize datasets, resume if requested
-        (settings_.py:404-444).  Returns the Feeder."""
+        provenance, attach captioning, initialize datasets, resume if
+        requested (settings_.py:404-444).  Returns the Feeder."""
         self.initialize_from_file(init_file)
+        self.attach_captioning()
 
         if os.path.dirname(os.path.abspath(init_file)) != \
                 os.path.abspath(self.run_folder):

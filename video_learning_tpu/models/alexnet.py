@@ -78,9 +78,18 @@ def init(rng, num_classes, final_layer="prob", weights_file=None,
     for j, (name, din, dout) in enumerate(specs):
         if final_layer == "fc6" and name == "fc7":
             break
-        if net_data is not None and name in net_data:
-            params[name] = {"w": jnp.asarray(net_data[name][0]),
-                            "b": jnp.asarray(net_data[name][1])}
+        pretrained = net_data.get(name) if net_data is not None else None
+        if pretrained is not None and \
+                tuple(pretrained[0].shape) != (din, dout):
+            # non-227 inputs change fc6's fan-in; the pretrained kernel
+            # cannot apply (reference assumes 227x227, alexnet.py:224)
+            info("AlexNet %s: pretrained shape %s != required (%d, %d); "
+                 "initializing fresh" % (name, pretrained[0].shape, din,
+                                         dout))
+            pretrained = None
+        if pretrained is not None:
+            params[name] = {"w": jnp.asarray(pretrained[0]),
+                            "b": jnp.asarray(pretrained[1])}
         else:
             params[name] = fc_init(keys[5 + j], din, dout)
     if final_layer not in ("fc6", "fc7"):

@@ -117,6 +117,11 @@ class Model:
                                                 fpc, int(shp[-1])))
                     if dset.embedding_matrix is not None:
                         self.caption_dataset = dset
+                        if len(dset.vocabulary) != self.num_classes:
+                            error("Captioning requires num_classes == "
+                                  "vocabulary size (%d != %d)"
+                                  % (self.num_classes,
+                                     len(dset.vocabulary)))
                 debug("Resolved pipeline input [%s] for [%s]"
                       % (input_name, pname))
 
@@ -126,6 +131,18 @@ class Model:
             is_last = pname == self.settings.pipeline_names[-1]
             caption = (net.classifier == defs.classifier.lstm and
                        self.caption_dataset is not None and is_last)
+            if net.classifier == defs.classifier.lstm and not caption:
+                # reference build-time guards (model.py:121-125)
+                ft = net.frame_fusion[0] if net.frame_fusion else None
+                if ft not in (None, defs.fusion_type.none):
+                    error("The LSTM classifier should be used only with "
+                          "[none] fusion, but it's [%s]" % ft)
+                in_fpc = sources[0].fpc
+                if net.input_fusion == defs.fusion_method.ibias:
+                    in_fpc += 1
+                if in_fpc <= 1:
+                    error("The LSTM classifier requires an fpc greater "
+                          "than 1 (pipeline [%s])" % pname)
             spec = {"name": pname, "net": net, "sources": sources,
                     "caption": caption}
             self.specs.append(spec)
@@ -142,13 +159,8 @@ class Model:
         fpcs = [s.fpc for s in sources]
         cpvs = [s.cpv for s in sources]
         if net.input_fusion is not None:
-            if net.input_fusion == defs.fusion_method.concat and \
-                    cpvs[0] // cpvs[-1] == 1:
-                dim = sum(dims)
-            elif net.input_fusion == defs.fusion_method.concat:
-                dim = sum(dims)
-            else:
-                dim = dims[0]
+            dim = (sum(dims) if net.input_fusion == defs.fusion_method.concat
+                   else dims[0])
             fpc = fpcs[0] + 1 if net.input_fusion == \
                 defs.fusion_method.ibias else fpcs[0]
             return dim, cpvs[0], fpc
@@ -250,10 +262,15 @@ class Model:
                     keys[4], spec["sources"][1].dim, num_hidden)
                 if p["input_state_fc"] is not None:
                     self._groups["modified"].append(name + "/input_state_fc")
-            out_dim = (self.num_classes if not spec["caption"]
-                       else self.num_classes)
-            p["output_fc"] = convert_dim_fc_init(keys[5], num_hidden,
-                                                 out_dim)
+            if spec["caption"]:
+                # caption logits span the vocabulary; the FC always exists
+                # (reference lstm.py:543-548 creates fc_out unconditionally)
+                from video_learning_tpu.models.layers import fc_init
+                p["output_fc"] = fc_init(keys[5], num_hidden,
+                                         self.num_classes)
+            else:
+                p["output_fc"] = convert_dim_fc_init(keys[5], num_hidden,
+                                                     self.num_classes)
             if p["output_fc"] is not None:
                 self._groups["modified"].append(name + "/output_fc")
         return p
@@ -350,8 +367,7 @@ class Model:
                 init_state = convert_dim_fc_apply(p.get("input_state_fc"),
                                                   state)
             seq_out, states = lstm_mod.evaluate_sequence(
-                p["lstm"], x, num_hidden, output_fpc
-                if fusion_type == defs.fusion_type.early else fpc,
+                p["lstm"], x, num_hidden, output_fpc,
                 init_state=init_state, compute_dtype=self.compute_dtype)
             if lstm_fusion == defs.fusion_method.state:
                 logits = states[-1][1]  # final hidden state (model.py:137)

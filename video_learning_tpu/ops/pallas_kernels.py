@@ -9,11 +9,13 @@ Two kernels back the compute path's innermost loops:
 
 * ``lstm_step``  — one fused LSTM cell step: gates = xproj + h @ Wh + b on
   the MXU, then the i/j/f/o nonlinearities and state update on the VPU
-  without HBM round-trips between them.  Used by the scan body in
-  models/lstm.py when enabled.
+  without HBM round-trips between them.  NOT wired into models/lstm.py:
+  XLA's fused scan body measured faster on v5e, so this kernel is kept as
+  a tested building block for custom integrations only.
 
-Enablement: ``VLT_USE_PALLAS=1`` in the environment or calling
-``set_enabled(True)``; on non-TPU backends the kernels run in interpret
+Enablement (LRN only): ``VLT_USE_PALLAS=1`` in the environment or calling
+``set_enabled(True)``; note the XLA LRN also measured slightly faster on
+v5e (BASELINE.md), so the flag exists for experimentation; on non-TPU backends the kernels run in interpret
 mode only under tests — production CPU falls back to the XLA
 implementations.  See /opt/skills/guides/pallas_guide.md for the kernel
 language rules followed here (grid/BlockSpec tiling, VMEM residency,

@@ -51,7 +51,7 @@ def make_mesh(mesh_shape=None, devices=None):
     mesh_shape = dict(mesh_shape or {})
     model = int(mesh_shape.get(MODEL_AXIS, 1))
     data = int(mesh_shape.get(DATA_AXIS, n // model))
-    if data * model > n:
+    if data < 1 or model < 1 or data * model > n:
         error("Mesh shape data=%d x model=%d exceeds %d devices"
               % (data, model, n))
     arr = np.asarray(devices[:data * model]).reshape(data, model)

@@ -23,7 +23,7 @@ from video_learning_tpu.defs import defs
 from video_learning_tpu.models.pipeline import Model
 from video_learning_tpu.observe import MetricsWriter
 from video_learning_tpu.train import Train
-from video_learning_tpu.utils import elapsed_str, error, info
+from video_learning_tpu.utils import elapsed_str, info
 from video_learning_tpu.val import Validation
 
 
@@ -169,48 +169,11 @@ def do_test(settings, val, params, feeder, model, writer):
     return accuracy
 
 
-def _attach_captioning(settings):
-    """Wire captioning metadata into datasets that declared it
-    (config 'captioning' block + run-level captioning options)."""
-    for phase, dsets in settings.feeder.datasets.items():
-        for d in dsets:
-            emb_file = None
-            if d.captioning_config is not None:
-                emb_file = d.captioning_config[0]
-            elif settings.captioning is not None:
-                emb_file = settings.captioning.word_embeddings_file
-            if emb_file:
-                captions_mod.attach_captioning(
-                    d, emb_file,
-                    include_labels=(phase == defs.phase.train),
-                    do_padding=True)
-                info("Attached captioning to dataset [%s] (V=%d)"
-                     % (d.id, len(d.vocabulary)))
-
-
 def main(init_file):
     from video_learning_tpu.parallel.mesh import init_platform
     init_platform()
     settings = Settings()
-    # parse first so captioning attachment happens before batch calc
-    settings.initialize_from_file(init_file)
-    _attach_captioning(settings)
-    # finish initialization (dataset batch plans, resume snaps)
-    import os
-    import shutil
-    if os.path.dirname(os.path.abspath(init_file)) != \
-            os.path.abspath(settings.run_folder):
-        shutil.copyfile(init_file, os.path.join(
-            settings.run_folder, os.path.basename(init_file)))
-    if settings.train and settings.val:
-        error("Cannot specify simultaneous training and validation run.")
-    if not (settings.train or settings.val):
-        error("Neither training nor validation is enabled.")
-    settings.tensorboard_folder = os.path.join(
-        settings.run_folder, settings.tensorboard_folder, settings.phase)
-    settings.feeder.initialize_datasets()
-    settings.feeder.set_phase(settings.phase)
-    feeder = settings.feeder
+    feeder = settings.initialize(init_file)
 
     model = Model(settings)
     writer = MetricsWriter(settings.tensorboard_folder, settings.run_id,
@@ -218,10 +181,7 @@ def main(init_file):
 
     if settings.train:
         engine = Train(settings, feeder, model, seed=settings.seed)
-        if settings.should_resume():
-            settings.train.epoch_index, settings.global_step = \
-                feeder.resume_snap(settings.resume_file)
-            engine.global_step = settings.global_step
+        engine.global_step = settings.global_step
         state = feeder.init_saveload(
             engine.state_dict(), settings.resume_file,
             model.get_ignorable_variable_names())
