@@ -33,85 +33,20 @@ CPU_BASELINE_CLIPS_PER_SEC = 0.236
 
 
 def build(batch_clips, fpc, raw_hw, crop, num_classes, compute_dtype):
-    import jax
-    from video_learning_tpu.config import Network, Settings, TrainOpts
-    from video_learning_tpu.defs import defs
-    from video_learning_tpu.models.pipeline import Model
-    from video_learning_tpu.data.imgproc import ImageProcessor
-    from video_learning_tpu.ops.preprocess import make_preprocessor
+    """Flagship model + engine via the shared builder in __graft_entry__
+    (one source of truth for the benchmark/dryrun model config)."""
+    import __graft_entry__ as graft
     from video_learning_tpu.train import Train
 
-    class _StubDataset:
-        def __init__(self):
-            self.tag = defs.dataset_tag.main
-            self.clips_per_video = 1
-            self.num_frames_per_clip = fpc
-            self.embedding_matrix = None
-            self.vocabulary = None
-            self.imgproc = [defs.imgproc.rand_crop, defs.imgproc.sub_mean,
-                            defs.imgproc.rand_mirror]
-            self.processor = ImageProcessor(
-                self.imgproc, raw_hw + (3,), (crop, crop, 3),
-                [104.0, 117.0, 123.0])
-            self.device_preprocess = True
-
-        def get_image_shape(self):
-            return (crop, crop, 3)
-
-    class _StubFeeder:
-        def __init__(self):
-            self._d = [_StubDataset()]
-
-        def get_dataset_by_tag(self, tag):
-            return [d for d in self._d if d.tag == tag]
-
-        def get_num_batches(self):
-            return 1000
-
-    frames = Network()
-    frames.input = [defs.dataset_tag.main]
-    frames.input_shape = [None]
-    frames.input_fusion = None
-    frames.representation = defs.representation.dcnn
-    frames.frame_encoding_layer = "fc7"
-    frames.classifier = None
-    frames.weights_file = None
-    frames.frame_fusion = None
-
-    clf = Network()
-    clf.input = ["frames"]
-    clf.input_shape = [None]
-    clf.input_fusion = None
-    clf.representation = defs.representation.nop
-    clf.frame_encoding_layer = None
-    clf.classifier = defs.classifier.lstm
-    clf.lstm_params = [256, 2, defs.fusion_method.avg]
-    clf.weights_file = None
-    clf.frame_fusion = None
-
-    s = Settings()
-    s.num_classes = num_classes
-    s.pipelines = {"frames": frames, "clf": clf}
-    s.pipeline_names = ["frames", "clf"]
-    s.feeder = _StubFeeder()
-    s.train = TrainOpts()
-    s.train.batch_size = batch_clips
-    s.train.epochs = 1
-    s.train.base_lr = 0.001
-    s.train.lr_decay = None
-    s.train.clip_norm = 10.0
-    s.train.lr_mult = None
-    s.phase = defs.phase.train
-    s.phases = [defs.phase.train]
-    s.compute_dtype = compute_dtype
-    s.run_folder = None
-    s.run_id = "bench"
-    s.mesh_shape = {"data": 1}
-
-    model = Model(s)
-    engine = Train(s, s.feeder, model, seed=0)
+    settings, model = graft._flagship(
+        num_classes=num_classes, fpc=fpc, image=crop, lstm=(256, 2),
+        raw_hw=raw_hw, mean_scalars=[104.0, 117.0, 123.0],
+        device_preprocess=True, batch_size=batch_clips,
+        compute_dtype=compute_dtype, num_batches=1000, base_lr=0.001,
+        lr_mult=None, clip_norm=10.0, mesh_shape={"data": 1})
+    engine = Train(settings, settings.feeder, model, seed=0)
     engine.place_params()
-    return s, model, engine
+    return settings, model, engine
 
 
 def _probe_accelerator(deadline=240):

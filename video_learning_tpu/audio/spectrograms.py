@@ -28,13 +28,19 @@ def read_wav(path):
         width = w.getsampwidth()
         channels = w.getnchannels()
         raw = w.readframes(n)
-    dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
-    if dtype is None:
+    if width == 1:
+        # 8-bit PCM WAV stores UNSIGNED samples centered at 128
+        data = np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
+        scale = 127.0
+    elif width in (2, 4):
+        dtype = {2: np.int16, 4: np.int32}[width]
+        data = np.frombuffer(raw, dtype).astype(np.float64)
+        scale = float(np.iinfo(dtype).max)
+    else:
         error("Unsupported wav sample width: %d" % width)
-    data = np.frombuffer(raw, dtype).astype(np.float64)
     if channels > 1:
         data = data.reshape(-1, channels).mean(axis=1)
-    return data / float(np.iinfo(dtype).max), rate
+    return data / scale, rate
 
 
 def stft_magnitude(signal, rate, win_sec, step_sec):

@@ -52,10 +52,9 @@ class BatchGeometry:
         target_labels = self.target_rows.get("labels", n_valid)
         padding = target_labels - n_valid
         if "label_mask" in feed:
-            mask = np.asarray(feed["label_mask"], np.float32)
-            if mask.shape[0] < target_labels:
-                mask = np.pad(mask, (0, target_labels - mask.shape[0]))
-            out["label_mask"] = mask
+            # already leading-dim padded by the per-key loop above; keep
+            # the caller's validity zeros intact
+            out["label_mask"] = np.asarray(out["label_mask"], np.float32)
         elif "labels" in feed:
             mask = np.zeros((target_labels,), np.float32)
             mask[:n_valid] = 1.0

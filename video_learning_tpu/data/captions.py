@@ -98,13 +98,14 @@ def labels_to_words(raw_batch_labels, embedding_matrix, vocabulary,
             eos_onehot = labels_to_one_hot(eos_index, num_classes)
             labels = np.vstack((labels, eos_onehot))
         if do_padding:
-            pad = T - input_len
+            rows = vectors.shape[0]  # 1+len in training; 1 (BOS) in val
+            pad = T - rows
             offset = batch_index * T
-            non_pad.extend(offset + i for i in range(input_len))
+            non_pad.extend(offset + i for i in range(rows))
             if pad > 0:
                 vectors = np.vstack((vectors,
                                      np.zeros((pad, emb_dim), np.float32)))
-            mask[batch_index, :input_len] = 1.0
+            mask[batch_index, :rows] = 1.0
         all_vectors.append(vectors.astype(np.float32))
         all_labels.append(labels)
     return {
@@ -168,6 +169,11 @@ def validation_logits_to_captions(logit_index_rows, record_path, vocabulary,
     for row in logit_index_rows:
         words = [vocabulary[int(i)] for i in row]
         captions.append(" ".join(words) if words else " ")
+    if eval_type == defs.eval_type.coco and \
+            len(image_ids) != len(captions):
+        error("Recovered %d image ids for %d decoded captions (stale or "
+              "truncated paths file next to %s?)"
+              % (len(image_ids), len(captions), record_path))
     for iid, cap in zip(image_ids, captions):
         debug("image id: %s caption: %s" % (iid, cap))
     return [{"image_id": iid, "caption": cap}

@@ -32,20 +32,34 @@ class FeedPrefetcher:
     def __iter__(self):
         q = queue.Queue(maxsize=self.depth)
         exc = []
+        cancelled = threading.Event()
+
+        def put(item):
+            # bounded put that notices consumer cancellation, so an early
+            # consumer exit never leaves the producer blocked (and never
+            # leaves a live thread advancing the shared feeder)
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
-                while self.feeder.loop():
+                while not cancelled.is_set() and self.feeder.loop():
                     batch_index = self.feeder.get_batch_index()
                     feed, batches = self.feeder.get_feed(
                         self.required_input)
                     if self.prepare_fn is not None:
                         feed = self.prepare_fn(feed, batches)
-                    q.put((feed, batches, batch_index))
+                    if not put((feed, batches, batch_index)):
+                        return
             except BaseException as ex:  # surfaced on the consumer side
                 exc.append(ex)
             finally:
-                q.put(_Stop)
+                put(_Stop)
 
         worker = threading.Thread(target=produce, daemon=True,
                                   name="feed-prefetch")
@@ -57,6 +71,7 @@ class FeedPrefetcher:
                     break
                 yield item
         finally:
+            cancelled.set()
             worker.join(timeout=30)
         if exc:
             raise exc[0]

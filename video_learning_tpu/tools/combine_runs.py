@@ -15,6 +15,7 @@ Usage:
 import argparse
 import os
 import pickle
+import re
 
 import numpy as np
 
@@ -54,10 +55,17 @@ def load_run_logits(source_path, num_classes):
     """A run folder (chunked validation_logits files, sorted) or a single
     pickle (reference :112-124)."""
     if os.path.isdir(source_path):
+        def chunk_key(name):
+            # numeric ordering for '.part_<N>' suffixes (lexicographic
+            # order would scramble part_10 before part_2)
+            m = re.search(r"\.part_(\d+)$", name)
+            return (0, int(m.group(1))) if m else (1, name)
+
         val_files = sorted(
-            f for f in os.listdir(source_path)
-            if f.startswith("validation_logits") and
-            os.path.isfile(os.path.join(source_path, f)))
+            (f for f in os.listdir(source_path)
+             if f.startswith("validation_logits") and
+             os.path.isfile(os.path.join(source_path, f))),
+            key=chunk_key)
         run_logits = np.zeros([0, num_classes], np.float32)
         for valfile in val_files:
             with open(os.path.join(source_path, valfile), "rb") as f:

@@ -95,10 +95,15 @@ def evaluate(config_path, checkpoints_dir=None, only=None, omit=None,
             run_task.main(cfg_i)
         after = set(f for f in os.listdir(run_folder)
                     if f.startswith("accuracy_"))
-        new = after - before
+        # do_test rewrites the same accuracy_<run_id> file per run, so
+        # prefer newly created files and fall back to the most recently
+        # modified one (never an arbitrary stale file)
+        candidates = list(new) if (new := after - before) else list(after)
         acc = None
-        for f in (new or after):
-            with open(os.path.join(run_folder, f)) as fh:
+        if candidates:
+            newest = max(candidates, key=lambda f: os.path.getmtime(
+                os.path.join(run_folder, f)))
+            with open(os.path.join(run_folder, newest)) as fh:
                 acc = float(fh.read().strip())
         results[os.path.basename(ckpt)] = acc
         info("Checkpoint %s accuracy: %s" % (os.path.basename(ckpt), acc))
