@@ -1,0 +1,121 @@
+"""Regression tests for review findings (chunk ordering, prefetch
+cancellation, caption grid contract, stale accuracy harvesting, 8-bit
+WAV decoding)."""
+
+import os
+import pickle
+import threading
+import time
+import wave
+
+import numpy as np
+import pytest
+
+
+def test_combine_runs_numeric_chunk_order(tmp_path):
+    from video_learning_tpu.tools.combine_runs import load_run_logits
+    for i in (0, 1, 2, 10, 11):
+        pickle.dump(np.full((1, 2), i, np.float32),
+                    open(tmp_path / ("validation_logits_x.part_%d" % i),
+                         "wb"))
+    out = load_run_logits(str(tmp_path), 2)
+    assert out[:, 0].astype(int).tolist() == [0, 1, 2, 10, 11]
+
+
+def test_prefetcher_cancels_producer_on_consumer_exit():
+    from video_learning_tpu.data.prefetch import FeedPrefetcher
+
+    class FakeFeeder:
+        def __init__(self):
+            self.i = 0
+
+        def loop(self):
+            return self.i < 1000
+
+        def get_batch_index(self):
+            return self.i
+
+        def get_feed(self, req):
+            self.i += 1
+            return {"x": self.i}, {}
+
+    pf = FeedPrefetcher(FakeFeeder(), [], None, depth=2)
+    tic = time.time()
+    with pytest.raises(RuntimeError):
+        for feed, batches, bi in pf:
+            if bi == 3:
+                raise RuntimeError("step failed")
+    assert time.time() - tic < 5
+    assert not [t for t in threading.enumerate()
+                if t.name == "feed-prefetch" and t.is_alive()]
+
+
+def test_labels_to_words_val_grid_contract():
+    """include_labels=False (val) must still produce a B*T word grid."""
+    from video_learning_tpu.data import captions as cap
+    vocab = ["a", "b", "UNK", "EOS", "BOS"]
+    emb = np.arange(5 * 3, dtype=np.float32).reshape(5, 3)
+    out = cap.labels_to_words([[0, 1], [1]], emb, vocab, 5,
+                              max_sequence_length=4, include_labels=False,
+                              do_padding=True)
+    assert out["word_embeddings"].shape == (2 * 4, 3)
+    # only the BOS row is a real input in val mode
+    assert out["mask"].tolist() == [[1, 0, 0, 0], [1, 0, 0, 0]]
+    assert out["non_padding_index"] == [0, 4]
+
+
+def test_caption_id_shortfall_errors(tmp_path):
+    from video_learning_tpu.data import captions as cap
+    from video_learning_tpu.utils import FrameworkError
+    paths = tmp_path / "imgs.txt"
+    paths.write_text("COCO_val_000000000001.jpg 0\n")
+    rec = str(paths) + ".tfrecord"
+    with pytest.raises(FrameworkError):
+        cap.validation_logits_to_captions([[0], [1]], rec,
+                                          ["a", "EOS"], "coco")
+
+
+def test_wav_8bit_unsigned(tmp_path):
+    from video_learning_tpu.audio.spectrograms import read_wav
+    rate = 8000
+    t = np.arange(rate) / rate
+    # 8-bit unsigned samples centered at 128
+    sig = (np.sin(2 * np.pi * 100 * t) * 100 + 128).astype(np.uint8)
+    p = tmp_path / "u8.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+    data, r = read_wav(str(p))
+    assert r == rate
+    assert abs(float(np.mean(data))) < 0.02       # centered
+    assert 0.5 < float(np.max(data)) <= 1.0       # full positive swing
+
+
+def test_stale_accuracy_not_harvested(tmp_path, monkeypatch):
+    """evaluate_multiple_checkpoints must pick the run's fresh accuracy
+    file, not a stale one from an earlier run."""
+    from video_learning_tpu.tools import evaluate_multiple_checkpoints as e
+    import yaml
+    run_folder = tmp_path / "run"
+    ckpt_dir = run_folder / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    # stale accuracy from some older run id
+    (run_folder / "accuracy_old_run").write_text("0.111")
+    time.sleep(0.01)
+    ckpt = ckpt_dir / "170101_ep_1_btch_1_gs_1.ckpt"
+    ckpt.write_bytes(pickle.dumps({"params": {}}))
+    cfg = {"run": {"run_folder": str(run_folder), "phase":
+                   "defs.phase.train", "data": {}}}
+    cfg_path = tmp_path / "c.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    def fake_main(path):
+        time.sleep(0.01)
+        (run_folder / "accuracy_new_run").write_text("0.987")
+
+    import video_learning_tpu.run_task as rt
+    monkeypatch.setattr(rt, "main", fake_main)
+    results = e.evaluate(str(cfg_path))
+    assert list(results.values()) == [0.987]
