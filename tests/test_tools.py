@@ -240,3 +240,38 @@ def test_evaluate_multiple_checkpoints_filter():
     assert emc.filter_checkpoints(ckpts, only=[2]) == [ckpts[1]]
     assert emc.filter_checkpoints(ckpts, omit=[2]) == [ckpts[0], ckpts[2]]
     assert emc.checkpoint_epoch(ckpts[2]) == 3
+
+
+def test_import_tfrecord(tmp_path):
+    """Reference-format TFRecords convert into readable VLR files."""
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.RandomState(0)
+    in_path = str(tmp_path / "ref.tfrecord")
+    imgs = [rng.randint(0, 255, (6, 7, 3), np.uint8) for _ in range(3)]
+    with tf.io.TFRecordWriter(in_path) as w:
+        for i, img in enumerate(imgs):
+            feats = {
+                "height": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=[6])),
+                "width": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=[7])),
+                "depth": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=[3])),
+                "label": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=[i, i + 1])),
+                "image_raw": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(
+                        value=[img.tobytes()])),
+            }
+            w.write(tf.train.Example(features=tf.train.Features(
+                feature=feats)).SerializeToString())
+    records.write_size_file(3, None, in_path, "image", 2, None)
+    from video_learning_tpu.tools.import_tfrecord import convert
+    out_path, count = convert(in_path)
+    assert count == 3
+    r = records.RecordReader(out_path, verify=True)
+    for i in range(3):
+        kind, img, lab = r.read_at(i)
+        assert np.array_equal(img, imgs[i])
+        assert lab == [i, i + 1]
+    assert os.path.exists(out_path + ".size")

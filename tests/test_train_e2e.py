@@ -190,3 +190,28 @@ def test_train_with_device_preprocess(packed_tree):
     lines = [json.loads(l) for l in open(mfile)]
     assert len(lines) == 2
     assert all(np.isfinite(l["loss"]) for l in lines)
+
+
+def test_validate_clip_batch_mode(packed_tree):
+    """batch_item=clip validation through the CLI driver: clips stream in
+    fixed-size batches and fuse into videos as each cpv completes."""
+    from video_learning_tpu import run_task
+    import yaml
+    tmp_path, tree = packed_tree
+    cfg, run_folder = _run_config(tmp_path, tree, "train", epochs=1)
+    import shutil
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+    run_task.main(str(cfg))
+
+    vcfg, _ = _run_config(tmp_path, tree, "val", resume="latest")
+    docs = yaml.safe_load(vcfg.read_text())
+    docs["run"]["data"]["tinyvid"]["batch_item"] = "defs.batch_item.clip"
+    docs["run"]["val"]["batch_size"] = 4
+    vcfg2 = tmp_path / "val_clip.yml"
+    vcfg2.write_text(yaml.safe_dump(docs))
+    run_task.main(str(vcfg2))
+    accf = [f for f in os.listdir(run_folder)
+            if f.startswith("accuracy_")][0]
+    acc = float((run_folder / accf).read_text())
+    assert 0.0 <= acc <= 1.0
