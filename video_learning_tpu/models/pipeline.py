@@ -41,7 +41,7 @@ from video_learning_tpu.models import lstm as lstm_mod
 from video_learning_tpu.models.layers import (convert_dim_fc_apply,
                                               convert_dim_fc_init, dropout)
 from video_learning_tpu.ops import fusion
-from video_learning_tpu.utils import debug, error, warning
+from video_learning_tpu.utils import debug, error, print_tensor, warning
 
 
 class _InputSource:
@@ -342,10 +342,14 @@ class Model:
         elif net.representation != defs.representation.nop:
             error("Undefined representation [%s]" % net.representation)
         dim = int(x.shape[-1])
+        if self.settings.print_tensors:
+            x = print_tensor(x, "Vectorized output [%s]" % name)
 
         # early fusion (model.py:103-106)
         if fusion_type == defs.fusion_type.early and fpc > 1:
             x = fusion.aggregate_clip_vectors(x, dim, fpc, fusion_method)
+            if self.settings.print_tensors:
+                x = print_tensor(x, "Early fusion [%s]" % name)
             output_fpc = 1
 
         if net.classifier is None:
@@ -382,11 +386,16 @@ class Model:
         else:
             error("Undefined classifier [%s]" % net.classifier)
 
+        if self.settings.print_tensors:
+            logits = print_tensor(logits, "Post-classification logits "
+                                  "[%s]" % name)
         # late fusion (model.py:149-151)
         if fusion_type == defs.fusion_type.late and fpc > 1 and \
                 logits.ndim == 2 and logits.shape[0] != 0:
             logits = fusion.aggregate_clip_vectors(
                 logits, self.num_classes, fpc, fusion_method)
+            if self.settings.print_tensors:
+                logits = print_tensor(logits, "Late fusion [%s]" % name)
         return logits
 
     # ----------------------------------------------------------- captioner

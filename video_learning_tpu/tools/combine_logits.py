@@ -89,6 +89,16 @@ def intersect_runs(vids, labels, logits):
             np.asarray(common_labels))
 
 
+def _dump_alignment(path, vids, labels, logits, i2c):
+    """Document vid/label/classname/argmax before+after alignment
+    (reference combine_logits.py:144-151, 224-231)."""
+    with open(path, "w") as f:
+        for vid, label, logit in zip(vids, labels, logits):
+            f.write("%s %d %s %d\n" % (vid, int(label),
+                                        i2c[int(label)],
+                                        int(np.argmax(logit))))
+
+
 def accuracy(logits, labels):
     return float(np.mean(np.argmax(logits, 1) == np.asarray(labels)))
 
@@ -121,10 +131,14 @@ def combine(paths, gt_paths, lbl_paths=None, align_path=None,
         maps = [load_class_map(p) for p in (lbl_paths or [])]
         if len(maps) != len(logits):
             error("-align requires one -lbl class map per logits file")
-        align_c2i, _ = load_class_map(align_path)
+        align_c2i, align_i2c = load_class_map(align_path)
         for i in range(len(logits)):
+            _dump_alignment("dset_%d_to_align_prior.txt" % i, vids[i],
+                            labels[i], logits[i], maps[i][1])
             logits[i], labels[i] = align_to(logits[i], labels[i],
                                             maps[i][1], align_c2i)
+            _dump_alignment("dset_%d_to_align_post.txt" % i, vids[i],
+                            labels[i], logits[i], align_i2c)
 
     for i in range(2):
         if len(logits[i]) != len(labels[i]):

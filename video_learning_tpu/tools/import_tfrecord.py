@@ -45,29 +45,40 @@ def convert(in_path, out_path=None):
         base = in_path[:-len(".tfrecord")] if in_path.endswith(".tfrecord") \
             else in_path
         out_path = base + ".vlr.tfrecord"
+    from video_learning_tpu.utils import FrameworkError
+
+    def _convert_one(feature, writer):
+        labels = list(feature["label"].int64_list.value)
+        if "image_raw" in feature:
+            h = int(feature["height"].int64_list.value[0])
+            w = int(feature["width"].int64_list.value[0])
+            d = int(feature["depth"].int64_list.value[0])
+            img = np.frombuffer(
+                feature["image_raw"].bytes_list.value[0],
+                np.uint8).reshape(h, w, d)
+            writer.write(records.encode_image_example(img, labels))
+        elif "vector_raw" in feature:
+            vec = np.frombuffer(
+                feature["vector_raw"].bytes_list.value[0], np.float32)
+            dim = int(feature["dimension"].int64_list.value[0])
+            if dim != len(vec):
+                error("Vector length %d != stored dimension %d"
+                      % (len(vec), dim))
+            writer.write(records.encode_vector_example(vec, labels))
+        else:
+            error("Unrecognized example schema in %s" % in_path)
+
     count = 0
     with records.RecordWriter(out_path) as writer:
-        for feature in _tf_example_iterator(in_path):
-            labels = list(feature["label"].int64_list.value)
-            if "image_raw" in feature:
-                h = int(feature["height"].int64_list.value[0])
-                w = int(feature["width"].int64_list.value[0])
-                d = int(feature["depth"].int64_list.value[0])
-                img = np.frombuffer(
-                    feature["image_raw"].bytes_list.value[0],
-                    np.uint8).reshape(h, w, d)
-                writer.write(records.encode_image_example(img, labels))
-            elif "vector_raw" in feature:
-                vec = np.frombuffer(
-                    feature["vector_raw"].bytes_list.value[0], np.float32)
-                dim = int(feature["dimension"].int64_list.value[0])
-                if dim != len(vec):
-                    error("Vector length %d != stored dimension %d"
-                          % (len(vec), dim))
-                writer.write(records.encode_vector_example(vec, labels))
-            else:
-                error("Unrecognized example schema in %s" % in_path)
-            count += 1
+        try:
+            for feature in _tf_example_iterator(in_path):
+                _convert_one(feature, writer)
+                count += 1
+        except FrameworkError:
+            raise
+        except Exception as ex:
+            error("Failed to decode %s as a TFRecord file: %s"
+                  % (in_path, ex))
     # the .size sidecar format is identical — carry it over
     if os.path.exists(in_path + ".size"):
         shutil.copyfile(in_path + ".size", out_path + ".size")
