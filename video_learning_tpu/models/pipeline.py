@@ -327,8 +327,10 @@ class Model:
         # representation
         if net.representation == defs.representation.dcnn:
             def dcnn_fn(params_dcnn, frames):
-                return alexnet.apply(params_dcnn,
-                                     frames.astype(jnp.float32),
+                # frames arrive in the compute dtype from the device
+                # preprocessor (or f32 from host paths); conv_apply casts
+                # as needed — no forced f32 round-trip
+                return alexnet.apply(params_dcnn, frames,
                                      net.frame_encoding_layer,
                                      compute_dtype=self.compute_dtype)
             if getattr(self.settings, "remat", False):

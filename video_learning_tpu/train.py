@@ -237,7 +237,11 @@ class Train:
                 if not supports_device_path(d.imgproc):
                     error("Device preprocessing unsupported for imgproc %s"
                           % d.imgproc)
-                pre[key] = make_preprocessor(d.processor)
+                # emit frames directly in the compute dtype: the first
+                # conv consumes them as-is, halving the largest
+                # activation's HBM traffic under bfloat16
+                pre[key] = make_preprocessor(
+                    d.processor, out_dtype=self.model.compute_dtype)
         return pre
 
     # -------------------------------------------------------------- step

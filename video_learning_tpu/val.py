@@ -66,7 +66,8 @@ class Validation:
                     error("Device preprocessing unsupported for imgproc %s"
                           % dsets[0].imgproc)
                 self._preprocessors[key] = make_preprocessor(
-                    dsets[0].processor)
+                    dsets[0].processor,
+                    out_dtype=model.compute_dtype)
 
         pre = self._preprocessors
 
