@@ -27,13 +27,15 @@ def _pack_videos(tmp_path, cpvs, fpc=2):
 
 
 def _dataset(base, batch_size=2, shuffle=True, seed=7,
-             batch_item="default"):
+             batch_item="default", host_shards=1, host_shard_index=0):
     d = Dataset()
     d.initialize("es", base, None, None, (4, 4, 3), [], None,
                  defs.data_format.tfrecord, "jpg", batch_item, 8,
                  defs.dataset_tag.main, 1)
     d.epoch_shuffle = shuffle
     d.shuffle_seed = seed
+    d.host_shards = host_shards
+    d.host_shard_index = host_shard_index
     d.calculate_batches(batch_size, defs.input_mode.video)
     d.rewind(next_epoch=False)
     return d
@@ -117,3 +119,29 @@ def test_no_shuffle_keeps_packed_order(tmp_path):
     base = _pack_videos(tmp_path, [1, 1, 1])
     d = _dataset(base, batch_size=3, shuffle=False)
     assert _epoch_video_order(d) == [0, 0, 1, 1, 2, 2]
+
+
+def test_host_sharding_partitions_items(tmp_path):
+    """Each host shard reads a disjoint item range; the union covers the
+    dataset exactly once."""
+    base = _pack_videos(tmp_path, [1, 2, 1, 1, 2], fpc=2)
+    seen = []
+    for idx in range(2):
+        d = _dataset(base, batch_size=2, shuffle=False,
+                     host_shards=2, host_shard_index=idx)
+        while d.loop():
+            b = d.get_next_batch()
+            seen.extend(int(b.visual[i].ravel()[0]) // 36
+                        for i in range(0, b.visual.shape[0], 2))
+    from collections import Counter
+    # every clip exactly once across the two shards
+    assert Counter(seen) == Counter({0: 1, 1: 2, 2: 1, 3: 1, 4: 2})
+
+
+def test_host_sharding_with_epoch_shuffle(tmp_path):
+    base = _pack_videos(tmp_path, [1, 1, 1, 1], fpc=2)
+    d = _dataset(base, batch_size=2, shuffle=True,
+                 host_shards=2, host_shard_index=1)
+    vids = _epoch_video_order(d)
+    # second shard owns videos 2 and 3 only
+    assert sorted(set(vids)) == [2, 3]

@@ -405,6 +405,17 @@ class Settings:
             # reader makes it free) and device-side preprocessing
             dset.epoch_shuffle = bool(dataobj.get("epoch_shuffle", False))
             dset.shuffle_seed = int(dataobj.get("shuffle_seed", self.seed))
+            # multi-host input sharding: default to this process's slot
+            # when running under multi-controller jax
+            shards = dataobj.get("host_shards", "auto")
+            if shards == "auto":
+                import jax
+                dset.host_shards = jax.process_count()
+                dset.host_shard_index = jax.process_index()
+            else:
+                dset.host_shards = int(shards)
+                dset.host_shard_index = int(
+                    dataobj.get("host_shard_index", 0))
             if "device_preprocess" in dataobj:
                 dset.device_preprocess = bool(dataobj["device_preprocess"])
 

@@ -94,6 +94,10 @@ class Dataset:
         self.do_padding = False
         self.eval_type = None
         self.captioning_config = None
+        # multi-host input sharding (TPU-native addition)
+        self.host_shards = 1
+        self.host_shard_index = 0
+        self._shard_record_offset = 0
         # per-epoch reshuffling (TPU-native addition)
         self.epoch_shuffle = False
         self.shuffle_seed = 0
@@ -222,9 +226,50 @@ class Dataset:
         self.batches = [self.batch_size] * num_whole
         if left:
             self.batches.append(left)
+        if self.host_shards > 1:
+            self._apply_host_shard()
         if self.epoch_shuffle:
             self._build_epoch_permutation()
         self.tell()
+
+    def _apply_host_shard(self):
+        """Multi-host input sharding: each process consumes a disjoint
+        contiguous item range (SURVEY §5 'host-sharded input pipeline').
+        The per-host batch plan covers items
+        [shard*items/shards, (shard+1)*items/shards); record cursors are
+        offset accordingly."""
+        shards, idx = self.host_shards, self.host_shard_index
+        if not (0 <= idx < shards):
+            error("host_shard_index %d out of range for %d shards"
+                  % (idx, shards))
+        per = self.num_items // shards
+        if per == 0:
+            error("Dataset [%s] has fewer items (%d) than host shards (%d)"
+                  % (self.id, self.num_items, shards))
+        lo = idx * per
+        hi = self.num_items if idx == shards - 1 else lo + per
+        fpc = self.num_frames_per_clip or 1
+        if self.clips_per_video is not None and \
+                not isinstance(self.clips_per_video, int):
+            self._shard_record_offset = sum(
+                self.clips_per_video[:lo]) * fpc
+            self.clips_per_video = self.clips_per_video[lo:hi]
+        else:
+            self._shard_record_offset = lo
+        self.frames = self.frames[lo:hi]
+        self.labels = self.labels[lo:hi]
+        self.num_items = hi - lo
+        if self.batch_item == defs.batch_item.default:
+            total = self.num_items
+        else:
+            total = sum(self.clips_per_video)
+        num_whole = total // self.batch_size
+        left = total - num_whole * self.batch_size
+        self.batches = [self.batch_size] * num_whole
+        if left:
+            self.batches.append(left)
+        info("Host shard %d/%d: items %d..%d (%d batches)"
+             % (idx + 1, shards, lo, hi, len(self.batches)))
 
     def initialize_imgproc(self):
         if self.input_mode == defs.input_mode.vectors:
@@ -261,7 +306,8 @@ class Dataset:
         if self.index_map is not None:
             raise RuntimeError("native path bypassed under epoch shuffle")
         pixels, labels, nlab = self.native_reader.read_images(
-            self.record_cursor, count, self._native_shape, max_labels=64)
+            self._shard_record_offset + self.record_cursor, count,
+            self._native_shape, max_labels=64)
         self.record_cursor += count
         images = list(pixels)
         out_labels = []
@@ -289,6 +335,7 @@ class Dataset:
             idx = self.record_cursor + k
             if self.index_map is not None:
                 idx = int(self.index_map[idx])
+            idx += self._shard_record_offset
             rec = None
             for attempt in range(max(1, self.read_tries)):
                 try:
