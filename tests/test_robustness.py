@@ -283,3 +283,28 @@ def test_batch_geometry_preserves_caption_mask():
     out, _, _ = g.pad_feed(feed)
     # intra-caption padding zeros must survive (was overwritten before)
     assert out["label_mask"].tolist() == [1, 0, 1, 0]
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """The orbax backend saves/restores the same flat mapping; name-diff
+    restore and inspection keep working on directory checkpoints."""
+    from video_learning_tpu import checkpoint as ck
+    state = {"params": {"fc": {"w": np.arange(6, dtype=np.float32)
+                               .reshape(2, 3),
+                               "b": np.ones(3, np.float32)}},
+             "opt_state_leaves": [np.zeros(2, np.float32)]}
+    path = str(tmp_path / "x.ckpt")
+    ck.save_checkpoint_orbax(path, state)
+    assert ck.is_orbax_checkpoint(path)
+    names = ck.get_checkpoint_tensor_names(path)
+    assert "params/fc/w" in names
+    target = {"params": {"fc": {"w": np.zeros((2, 3), np.float32),
+                                "b": np.zeros(3, np.float32)}},
+              "opt_state_leaves": [np.ones(2, np.float32)]}
+    restored = ck.restore_checkpoint(path, target)
+    assert np.allclose(restored["params"]["fc"]["w"],
+                       state["params"]["fc"]["w"])
+    assert np.allclose(restored["opt_state_leaves"][0], 0.0)
+    ck.delete_checkpoint(path)
+    import os
+    assert not os.path.exists(path)

@@ -75,6 +75,8 @@ def save_checkpoint(path, state):
 
 
 def load_flat(path):
+    if is_orbax_checkpoint(path):
+        return load_flat_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -126,7 +128,40 @@ def delete_checkpoint(path):
     for suffix in ("", ".snap"):
         target = path + suffix
         if os.path.exists(target):
-            os.remove(target)
+            if os.path.isdir(target):
+                import shutil
+                shutil.rmtree(target)
+            else:
+                os.remove(target)
+
+
+# --------------------------------------------------------- orbax backend
+def save_checkpoint_orbax(path, state):
+    """Alternative backend: Orbax StandardCheckpointer (async-capable,
+    multi-host-aware).  Saves the same flat {name: array} mapping so the
+    name-diff restore and inspection tools keep working; ``path`` becomes
+    a directory.  Select with ``checkpoint_backend: orbax`` in the run
+    config."""
+    import orbax.checkpoint as ocp
+    flat = {k: _to_numpy(v) for k, v in flatten_tree(state).items()}
+    # orbax keys cannot contain '/', map to a safe separator
+    safe = {k.replace(_SEP, "::"): v for k, v in flat.items()}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), safe, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_flat_orbax(path):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    safe = ckptr.restore(os.path.abspath(path))
+    ckptr.close()
+    return {k.replace("::", _SEP): v for k, v in safe.items()}
+
+
+def is_orbax_checkpoint(path):
+    return os.path.isdir(path)
 
 
 def get_checkpoint_tensor_names(path):

@@ -240,6 +240,10 @@ class Settings:
         if config.get("compute_dtype"):
             self.compute_dtype = str(config["compute_dtype"])
         self.remat = bool(config.get("remat", False))
+        self.checkpoint_backend = str(config.get("checkpoint_backend",
+                                                 "pickle"))
+        if self.checkpoint_backend not in ("pickle", "orbax"):
+            error("checkpoint_backend must be 'pickle' or 'orbax'")
 
         # phases + run id (settings_.py:219-239)
         self.phases = defs.check(config["phase"], defs.phase)
@@ -348,6 +352,7 @@ class Settings:
                              (self.train, self.val),
                              self.save_freq_per_epoch, self.run_folder,
                              self.should_resume())
+        self.feeder.checkpoint_backend = self.checkpoint_backend
         for dataid, dataobj in config.get("data", {}).items():
             dataset_phase = defs.check(dataobj["phase"], defs.phase)
             if dataset_phase not in self.phases:

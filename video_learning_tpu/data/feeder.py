@@ -186,7 +186,10 @@ class Feeder:
         base = os.path.join(folder,
                             "%s_%s.ckpt" % (get_datetime_str(), progress))
         info("Saving checkpoint to [%s]" % base)
-        ckpt_mod.save_checkpoint(base, state)
+        if getattr(self, "checkpoint_backend", "pickle") == "orbax":
+            ckpt_mod.save_checkpoint_orbax(base, state)
+        else:
+            ckpt_mod.save_checkpoint(base, state)
         if batch_index is None:
             batch_index = self.get_batch_index()
         snap = [batch_index,
