@@ -122,9 +122,9 @@ def test_no_shuffle_keeps_packed_order(tmp_path):
 
 
 def test_host_sharding_partitions_items(tmp_path):
-    """Each host shard reads a disjoint item range; the union covers the
-    dataset exactly once."""
-    base = _pack_videos(tmp_path, [1, 2, 1, 1, 2], fpc=2)
+    """Each host shard reads a disjoint equal-size item range; the union
+    covers the divisible prefix of the dataset exactly once."""
+    base = _pack_videos(tmp_path, [1, 2, 1, 1, 2, 1], fpc=2)
     seen = []
     for idx in range(2):
         d = _dataset(base, batch_size=2, shuffle=False,
@@ -135,7 +135,20 @@ def test_host_sharding_partitions_items(tmp_path):
                         for i in range(0, b.visual.shape[0], 2))
     from collections import Counter
     # every clip exactly once across the two shards
-    assert Counter(seen) == Counter({0: 1, 1: 2, 2: 1, 3: 1, 4: 2})
+    assert Counter(seen) == Counter({0: 1, 1: 2, 2: 1, 3: 1, 4: 2, 5: 1})
+
+
+def test_host_sharding_drops_remainder_for_equal_step_counts(tmp_path):
+    """With items % shards != 0, the remainder is dropped so every host
+    runs an identical number of batches (multi-controller alignment)."""
+    base = _pack_videos(tmp_path, [1, 1, 1, 1, 1], fpc=2)
+    counts = []
+    for idx in range(2):
+        d = _dataset(base, batch_size=2, shuffle=False,
+                     host_shards=2, host_shard_index=idx)
+        counts.append(len(d.batches))
+        assert d.num_items == 2
+    assert counts[0] == counts[1]
 
 
 def test_host_sharding_with_epoch_shuffle(tmp_path):

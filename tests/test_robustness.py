@@ -58,6 +58,26 @@ def test_corruption_manual_fallback(tmp_path):
     assert np.array_equal(batch.visual[0].astype(np.uint8), imgs[0])
 
 
+def test_corruption_manual_fallback_under_host_shard(tmp_path):
+    """The manual fallback maps the GLOBAL record index back to the
+    shard-local frames list (regression: IndexError when host-sharded)."""
+    from PIL import Image
+    base, _ = _image_dataset(tmp_path, corrupt_idx=3)
+    fallback = np.random.RandomState(5).randint(0, 255, (8, 8, 3), np.uint8)
+    Image.fromarray(fallback).save(tmp_path / "src3.jpg", quality=100)
+    records.write_size_file(4, None, str(tmp_path / "d.tfrecord"),
+                            "image", 1, None)
+    d = Dataset()
+    d.initialize("c", base, None, None, (8, 8, 3), [], None,
+                 defs.data_format.tfrecord, "jpg", defs.batch_item.default,
+                 2, defs.dataset_tag.main, 2)
+    d.host_shards, d.host_shard_index = 2, 1
+    d.calculate_batches(2, defs.input_mode.image)
+    d.native_reader = None
+    batch = d.get_next_batch()  # covers global records 2 (ok) and 3 (bad)
+    assert batch.visual.shape == (2, 8, 8, 3)
+
+
 def test_corruption_unrecoverable_raises(tmp_path):
     from video_learning_tpu.utils import FrameworkError
     base, _ = _image_dataset(tmp_path, corrupt_idx=2)

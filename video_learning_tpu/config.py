@@ -414,9 +414,13 @@ class Settings:
             # when running under multi-controller jax
             shards = dataobj.get("host_shards", "auto")
             if shards == "auto":
-                import jax
-                dset.host_shards = jax.process_count()
-                dset.host_shard_index = jax.process_index()
+                if dataset_phase == defs.phase.train:
+                    # only training data shards automatically; every host
+                    # must evaluate the FULL validation set (per-shard
+                    # accuracies would collide in the shared run folder)
+                    import jax
+                    dset.host_shards = jax.process_count()
+                    dset.host_shard_index = jax.process_index()
             else:
                 dset.host_shards = int(shards)
                 dset.host_shard_index = int(

@@ -215,6 +215,8 @@ class Dataset:
                     (len(l) for l in self.labels), default=1)
                 self.max_sequence_length = self.max_caption_length + 1
         self.initialize_imgproc()
+        if self.host_shards > 1:
+            self._apply_host_shard()
         if self.batch_item == defs.batch_item.default:
             total = self.num_items
         elif self.batch_item == defs.batch_item.clip:
@@ -226,8 +228,6 @@ class Dataset:
         self.batches = [self.batch_size] * num_whole
         if left:
             self.batches.append(left)
-        if self.host_shards > 1:
-            self._apply_host_shard()
         if self.epoch_shuffle:
             self._build_epoch_permutation()
         self.tell()
@@ -235,9 +235,12 @@ class Dataset:
     def _apply_host_shard(self):
         """Multi-host input sharding: each process consumes a disjoint
         contiguous item range (SURVEY §5 'host-sharded input pipeline').
-        The per-host batch plan covers items
-        [shard*items/shards, (shard+1)*items/shards); record cursors are
-        offset accordingly."""
+
+        Every shard gets exactly floor(items/shards) items — remainder
+        items are DROPPED (logged) so all hosts run identical step counts
+        and the global collectives stay aligned.  Note: multi-host
+        training additionally requires uniform clips-per-video so every
+        host compiles identical batch shapes."""
         shards, idx = self.host_shards, self.host_shard_index
         if not (0 <= idx < shards):
             error("host_shard_index %d out of range for %d shards"
@@ -246,8 +249,11 @@ class Dataset:
         if per == 0:
             error("Dataset [%s] has fewer items (%d) than host shards (%d)"
                   % (self.id, self.num_items, shards))
-        lo = idx * per
-        hi = self.num_items if idx == shards - 1 else lo + per
+        dropped = self.num_items - per * shards
+        if dropped:
+            info("Host sharding drops %d remainder item(s) to keep "
+                 "per-host step counts identical" % dropped)
+        lo, hi = idx * per, (idx + 1) * per
         fpc = self.num_frames_per_clip or 1
         if self.clips_per_video is not None and \
                 not isinstance(self.clips_per_video, int):
@@ -259,17 +265,8 @@ class Dataset:
         self.frames = self.frames[lo:hi]
         self.labels = self.labels[lo:hi]
         self.num_items = hi - lo
-        if self.batch_item == defs.batch_item.default:
-            total = self.num_items
-        else:
-            total = sum(self.clips_per_video)
-        num_whole = total // self.batch_size
-        left = total - num_whole * self.batch_size
-        self.batches = [self.batch_size] * num_whole
-        if left:
-            self.batches.append(left)
-        info("Host shard %d/%d: items %d..%d (%d batches)"
-             % (idx + 1, shards, lo, hi, len(self.batches)))
+        info("Host shard %d/%d: items %d..%d"
+             % (idx + 1, shards, lo, hi))
 
     def initialize_imgproc(self):
         if self.input_mode == defs.input_mode.vectors:
@@ -355,15 +352,20 @@ class Dataset:
     def _manually_read_image(self, record_index):
         """Fallback: re-read the source image from disk
         (dataset_.py:233-241).  Only possible for image-mode datasets where
-        record order equals the paths-file order."""
+        record order equals the paths-file order.  ``record_index`` is the
+        global record index; frames/labels are shard-local lists."""
         if self.input_mode != defs.input_mode.image:
             error("Failed to recover record %d" % record_index)
-        impath = self.frames[record_index]
+        local = record_index - self._shard_record_offset
+        if not (0 <= local < len(self.frames)):
+            error("Failed to recover record %d (outside this shard)"
+                  % record_index)
+        impath = self.frames[local]
         info("Manually reading source image %d: %s" % (record_index, impath))
         image = read_image(impath)
         if self.raw_image_shape is not None:
             image = imresize(image, self.raw_image_shape)
-        label = [int(x) for x in self.labels[record_index]]
+        label = [int(x) for x in self.labels[local]]
         return records.KIND_IMAGE, image, label
 
     def _process_images(self, images):

@@ -132,13 +132,16 @@ def combine(paths, gt_paths, lbl_paths=None, align_path=None,
         if len(maps) != len(logits):
             error("-align requires one -lbl class map per logits file")
         align_c2i, align_i2c = load_class_map(align_path)
+        dump_dir = os.path.dirname(os.path.abspath(paths[0]))
         for i in range(len(logits)):
-            _dump_alignment("dset_%d_to_align_prior.txt" % i, vids[i],
-                            labels[i], logits[i], maps[i][1])
+            _dump_alignment(os.path.join(
+                dump_dir, "dset_%d_to_align_prior.txt" % i), vids[i],
+                labels[i], logits[i], maps[i][1])
             logits[i], labels[i] = align_to(logits[i], labels[i],
                                             maps[i][1], align_c2i)
-            _dump_alignment("dset_%d_to_align_post.txt" % i, vids[i],
-                            labels[i], logits[i], align_i2c)
+            _dump_alignment(os.path.join(
+                dump_dir, "dset_%d_to_align_post.txt" % i), vids[i],
+                labels[i], logits[i], align_i2c)
 
     for i in range(2):
         if len(logits[i]) != len(labels[i]):

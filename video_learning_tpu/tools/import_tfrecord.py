@@ -69,16 +69,23 @@ def convert(in_path, out_path=None):
             error("Unrecognized example schema in %s" % in_path)
 
     count = 0
-    with records.RecordWriter(out_path) as writer:
-        try:
-            for feature in _tf_example_iterator(in_path):
-                _convert_one(feature, writer)
-                count += 1
-        except FrameworkError:
-            raise
-        except Exception as ex:
-            error("Failed to decode %s as a TFRecord file: %s"
-                  % (in_path, ex))
+    try:
+        with records.RecordWriter(out_path) as writer:
+            try:
+                for feature in _tf_example_iterator(in_path):
+                    _convert_one(feature, writer)
+                    count += 1
+            except FrameworkError:
+                raise
+            except Exception as ex:
+                error("Conversion of %s failed after %d records: %s"
+                      % (in_path, count, ex))
+    except BaseException:
+        # never leave a truncated output masquerading as a converted set
+        for suffix in ("", ".idx"):
+            if os.path.exists(out_path + suffix):
+                os.remove(out_path + suffix)
+        raise
     # the .size sidecar format is identical — carry it over
     if os.path.exists(in_path + ".size"):
         shutil.copyfile(in_path + ".size", out_path + ".size")

@@ -322,10 +322,19 @@ class Train:
 
     def _shard_feed(self, feed):
         data_size = self.mesh.shape[mesh_mod.DATA_AXIS]
+        multi_process = jax.process_count() > 1
         out = {}
         for k, v in feed.items():
             if getattr(v, "ndim", 0) >= 1 and v.shape[0] % data_size == 0:
-                out[k] = jax.device_put(v, self.data_sharding)
+                if multi_process:
+                    # assemble per-process local batches into one global
+                    # array: plain device_put would treat each host's
+                    # (different) local batch as the same global array and
+                    # silently drop most rows
+                    out[k] = jax.make_array_from_process_local_data(
+                        self.data_sharding, np.asarray(v))
+                else:
+                    out[k] = jax.device_put(v, self.data_sharding)
             else:
                 out[k] = v
         return out
