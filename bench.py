@@ -86,7 +86,9 @@ def main():
     init_platform()
 
     on_cpu = jax.devices()[0].platform == "cpu"
-    batch_clips = args.batch_clips or (1 if on_cpu else 32)
+    # 128 clips/batch measured fastest on one v4 chip (806 c/s vs
+    # 772 @ 32 and 781 @ 256 — MXU utilization saturates near 128)
+    batch_clips = args.batch_clips or (1 if on_cpu else 128)
     steps = args.steps or (2 if on_cpu else 20)
     fpc = args.fpc
     num_classes = 101  # UCF-style
