@@ -86,7 +86,7 @@ def main():
     init_platform()
 
     on_cpu = jax.devices()[0].platform == "cpu"
-    # 128 clips/batch measured fastest on one v4 chip (806 c/s vs
+    # 128 clips/batch measured fastest on one v5e chip (807 c/s vs
     # 772 @ 32 and 781 @ 256 — MXU utilization saturates near 128)
     batch_clips = args.batch_clips or (1 if on_cpu else 128)
     steps = args.steps or (2 if on_cpu else 20)

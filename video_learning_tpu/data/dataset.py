@@ -236,9 +236,11 @@ class Dataset:
         """Multi-host input sharding: each process consumes a disjoint
         contiguous item range (SURVEY §5 'host-sharded input pipeline').
 
-        Every shard gets exactly floor(items/shards) items — remainder
-        items are DROPPED (logged) so all hosts run identical step counts
-        and the global collectives stay aligned.  Note: multi-host
+        Every shard gets exactly floor(items/shards) items — the last
+        ``items % shards`` items are EXCLUDED for the whole run (logged;
+        the static slice also bounds epoch_shuffle) so all hosts run
+        identical step counts and the global collectives stay aligned.
+        Pick shard counts that divide the dataset to avoid the loss.  Note: multi-host
         training additionally requires uniform clips-per-video so every
         host compiles identical batch shapes."""
         shards, idx = self.host_shards, self.host_shard_index

@@ -322,11 +322,15 @@ class Train:
 
     def _shard_feed(self, feed):
         data_size = self.mesh.shape[mesh_mod.DATA_AXIS]
-        multi_process = jax.process_count() > 1
+        procs = jax.process_count()
         out = {}
         for k, v in feed.items():
-            if getattr(v, "ndim", 0) >= 1 and v.shape[0] % data_size == 0:
-                if multi_process:
+            # divisibility is judged on the GLOBAL batch (local rows x
+            # processes), not the local rows: with 4 hosts on a 16-wide
+            # data axis each host holds data_size/procs rows per shard
+            if getattr(v, "ndim", 0) >= 1 and \
+                    (v.shape[0] * procs) % data_size == 0:
+                if procs > 1:
                     # assemble per-process local batches into one global
                     # array: plain device_put would treat each host's
                     # (different) local batch as the same global array and
