@@ -35,26 +35,26 @@ constexpr char kMagic[4] = {'V', 'L', 'R', '1'};
 constexpr uint8_t kKindImage = 0;
 constexpr uint8_t kKindVector = 1;
 
-// CRC32 (IEEE, zlib-compatible), table-driven.
-uint32_t crc_table[256];
-bool crc_init_done = false;
-
-void init_crc_table() {
-  if (crc_init_done) return;
-  for (uint32_t i = 0; i < 256; ++i) {
-    uint32_t c = i;
-    for (int k = 0; k < 8; ++k)
-      c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-    crc_table[i] = c;
+// CRC32 (IEEE, zlib-compatible), table-driven.  The table is built by a
+// static initializer at load time: ctypes calls release the GIL, so lazy
+// initialization from concurrent reader threads would be a data race.
+struct CrcTable {
+  uint32_t t[256];
+  CrcTable() {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k)
+        c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      t[i] = c;
+    }
   }
-  crc_init_done = true;
-}
+};
+const CrcTable kCrc;
 
 uint32_t crc32_of(const uint8_t* data, size_t len) {
-  init_crc_table();
   uint32_t c = 0xFFFFFFFFu;
   for (size_t i = 0; i < len; ++i)
-    c = crc_table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
+    c = kCrc.t[(c ^ data[i]) & 0xFF] ^ (c >> 8);
   return c ^ 0xFFFFFFFFu;
 }
 
@@ -85,10 +85,18 @@ bool load_index(Reader* r, const std::string& path) {
   std::fseek(f, 0, SEEK_END);
   long bytes = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  if (bytes <= 0 || bytes % 8 != 0) {  // truncated mid-u64: untrustworthy
+    std::fclose(f);
+    return false;
+  }
   r->offsets.resize(bytes / 8);
   size_t got = std::fread(r->offsets.data(), 8, r->offsets.size(), f);
   std::fclose(f);
-  return got == r->offsets.size();
+  if (got != r->offsets.size()) {
+    r->offsets.clear();  // a partial read must not seed scan_offsets
+    return false;
+  }
+  return true;
 }
 
 void scan_offsets(Reader* r) {
@@ -153,7 +161,9 @@ int64_t vlr_count(void* handle) {
 // (count*max_labels int32, -1 padded) + `out_nlab` (count int32).
 // verify!=0 enables CRC checking.  Returns 0 on success, else a negative
 // error code: -1 bad handle/range, -2 kind mismatch, -3 shape mismatch,
-// -4 CRC failure, -5 truncated record.
+// -4 CRC failure, -5 truncated/corrupt record, -6 more labels than
+// max_labels (caller must retry with a larger buffer; truncating
+// silently would corrupt caption targets).
 int vlr_read_images(void* handle, int64_t start, int64_t count,
                     int32_t h, int32_t w, int32_t d,
                     uint8_t* out_pixels, int32_t* out_labels,
@@ -171,6 +181,7 @@ int vlr_read_images(void* handle, int64_t start, int64_t count,
     const uint8_t* payload = r->base + off + 8;
     if (off + 8 + len > r->size) return -5;
     if (verify && crc32_of(payload, len) != crc) return -4;
+    if (len < 9) return -5;  // header must fit before any field read
     if (payload[0] != kKindImage) return -2;
     const uint16_t rh = read_u16(payload + 1);
     const uint16_t rw = read_u16(payload + 3);
@@ -180,6 +191,7 @@ int vlr_read_images(void* handle, int64_t start, int64_t count,
     const uint8_t* labels = payload + 9;
     const uint8_t* pixels = labels + 4 * nlab;
     if (9 + 4ul * nlab + frame_bytes > len) return -5;
+    if (nlab > max_labels) return -6;
     out_nlab[i] = nlab;
     for (int32_t l = 0; l < max_labels; ++l) {
       int32_t v = -1;
@@ -201,17 +213,21 @@ int vlr_read_vectors(void* handle, int64_t start, int64_t count,
     return -1;
   for (int64_t i = 0; i < count; ++i) {
     const uint64_t off = r->offsets[start + i];
+    if (off + 8 > r->size) return -5;
     const uint32_t len = read_u32(r->base + off);
     const uint32_t crc = read_u32(r->base + off + 4);
     const uint8_t* payload = r->base + off + 8;
     if (off + 8 + len > r->size) return -5;
     if (verify && crc32_of(payload, len) != crc) return -4;
+    if (len < 7) return -5;  // header must fit before any field read
     if (payload[0] != kKindVector) return -2;
     uint32_t rdim = read_u32(payload + 1);
     uint16_t nlab = read_u16(payload + 5);
     if (static_cast<int32_t>(rdim) != dim) return -3;
     const uint8_t* labels = payload + 7;
     const uint8_t* values = labels + 4 * nlab;
+    if (7 + 4ul * nlab + 4ul * dim > len) return -5;
+    if (nlab > max_labels) return -6;
     out_nlab[i] = nlab;
     for (int32_t l = 0; l < max_labels; ++l) {
       int32_t v = -1;
@@ -230,9 +246,14 @@ int vlr_record_info(void* handle, int64_t index, int32_t* kind,
   if (!r || index < 0 ||
       index >= static_cast<int64_t>(r->offsets.size()))
     return -1;
-  const uint8_t* payload = r->base + r->offsets[index] + 8;
+  const uint64_t off = r->offsets[index];
+  if (off + 8 > r->size) return -5;
+  const uint32_t len = read_u32(r->base + off);
+  if (off + 8 + len > r->size || len < 7) return -5;
+  const uint8_t* payload = r->base + off + 8;
   *kind = payload[0];
   if (payload[0] == kKindImage) {
+    if (len < 9) return -5;
     *h = read_u16(payload + 1);
     *w = read_u16(payload + 3);
     *d = read_u16(payload + 5);

@@ -198,3 +198,15 @@ def test_coco_eval_cli(tmp_path, coco_gt):
     ce.main(["prog", str(rf), str(coco_gt)])
     out = json.load(open(str(rf) + ".eval.json"))
     assert "CIDEr" in out
+
+
+def test_rouge_l_max_precision_recall_independent():
+    """pycocoevalcap semantics: max precision and max recall are taken
+    independently across references before combining into F."""
+    from video_learning_tpu.metrics.coco_eval import rouge_l
+    cand = {"i": ["a", "b"]}
+    refs = {"i": [["a", "b", "c", "c", "c", "c"], ["a", "x"]]}
+    # prec_max = 1.0 (ref 1), rec_max = 0.5 (ref 2)
+    beta = 1.2
+    expect = ((1 + beta ** 2) * 1.0 * 0.5) / (0.5 + beta ** 2 * 1.0)
+    assert abs(rouge_l(cand, refs) - expect) < 1e-9

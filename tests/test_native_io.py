@@ -101,3 +101,36 @@ def test_dataset_uses_native_reader(tmp_path, lib):
     batch = d.get_next_batch()
     assert batch.visual.shape == (3, 12, 9, 3)
     assert np.array_equal(batch.visual[0].astype(np.uint8), imgs[0])
+
+
+def test_native_wide_labels_not_truncated(tmp_path, lib):
+    """A record with more labels than the default buffer (e.g. caption
+    word ids) must be returned in full, never silently truncated
+    (the C++ returns -6 and the binding retries with a wider buffer)."""
+    path = str(tmp_path / "wide.tfrecord")
+    img = np.zeros((4, 4, 3), np.uint8)
+    wide = list(range(80))
+    with records.RecordWriter(path) as w:
+        w.write(records.encode_image_example(img, wide))
+    r = native.NativeReader(path)
+    pixels, labels, nlab = r.read_images(0, 1, (4, 4, 3), max_labels=64)
+    assert nlab[0] == 80
+    assert labels.shape[1] >= 80
+    assert labels[0, :80].tolist() == wide
+    r.close()
+
+
+def test_native_truncated_idx_rescans(tmp_path, lib):
+    """A corrupt .idx sidecar (not a multiple of 8 bytes) must be ignored
+    in favour of a clean file scan — not merged with garbage offsets."""
+    path, imgs, labels = _write_images(tmp_path, n=6)
+    with open(path + ".idx", "rb") as f:
+        raw = f.read()
+    with open(path + ".idx", "wb") as f:
+        f.write(raw[:len(raw) - 3])  # truncate mid-u64
+    r = native.NativeReader(path, verify=True)
+    assert len(r) == 6
+    pixels, labs, nlab = r.read_images(0, 6, imgs[0].shape, max_labels=4)
+    for i in range(6):
+        assert np.array_equal(pixels[i], imgs[i])
+    r.close()

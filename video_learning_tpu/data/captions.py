@@ -11,6 +11,21 @@ gathered non-pad indices.
 
 import os
 
+_PUNCT_TABLE = None
+
+
+def normalize_caption(text):
+    """Canonical caption normalization: lowercase, strip punctuation,
+    whitespace-tokenize (reference process_annotations :74-97).  Shared by
+    the annotation packer and the metric tokenizer so ground truth and
+    evaluation can never normalize differently."""
+    global _PUNCT_TABLE
+    if _PUNCT_TABLE is None:
+        import string
+        _PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+    return str(text).lower().translate(_PUNCT_TABLE).strip().split()
+
+
 import numpy as np
 
 from video_learning_tpu.defs import defs

@@ -41,8 +41,10 @@ def get_library(auto_build=True):
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH) and auto_build:
-        if not _build():
+    if auto_build:
+        # always invoke make: it no-ops when the .so is newer than the
+        # source, and rebuilds a stale binary after vlrecords.cpp edits
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
     if not os.path.exists(_LIB_PATH):
         return None
@@ -116,9 +118,19 @@ class NativeReader:
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             nlab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             max_labels, self.verify)
+        if rc == -6:
+            # a record carries more labels (e.g. caption word ids) than
+            # the buffer: retry once with a buffer sized to the data
+            widest = self._widest_label_row(start, count)
+            if widest > max_labels:
+                return self.read_images(start, count, shape,
+                                        max_labels=widest)
         if rc != 0:
             raise RuntimeError("vlr_read_images rc=%d" % rc)
         return pixels, labels, nlab
+
+    def _widest_label_row(self, start, count):
+        return max(self.record_info(start + i)[4] for i in range(count))
 
     def read_vectors(self, start, count, dim, max_labels=1):
         values = np.empty((count, dim), np.float32)
@@ -130,6 +142,11 @@ class NativeReader:
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             nlab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             max_labels, self.verify)
+        if rc == -6:
+            widest = self._widest_label_row(start, count)
+            if widest > max_labels:
+                return self.read_vectors(start, count, dim,
+                                         max_labels=widest)
         if rc != 0:
             raise RuntimeError("vlr_read_vectors rc=%d" % rc)
         return values, labels, nlab

@@ -25,17 +25,16 @@ CLI (mirrors reference coco_eval.py): writes ``<results>.eval.json``:
 
 import json
 import math
-import string
 import sys
 from collections import Counter, defaultdict
 
 from video_learning_tpu.utils import error, info
 
-_PUNCT = str.maketrans("", "", string.punctuation)
-
-
 def tokenize(caption):
-    return str(caption).lower().translate(_PUNCT).strip().split()
+    # the exact normalization the ground-truth vocabularies were built
+    # with — one shared implementation so eval cannot drift from packing
+    from video_learning_tpu.data.captions import normalize_caption
+    return normalize_caption(caption)
 
 
 def _ngrams(tokens, n):
@@ -94,17 +93,23 @@ def _lcs_len(a, b):
 def rouge_l(candidates, references, beta=1.2):
     scores = []
     for iid, cand in candidates.items():
-        best = 0.0
+        # pycocoevalcap semantics: max precision and max recall are taken
+        # INDEPENDENTLY across references, then combined into one F score
+        # (not the max of per-reference F values)
+        prec_max, rec_max = 0.0, 0.0
         for ref in references[iid]:
             lcs = _lcs_len(cand, ref)
             if lcs == 0:
                 continue
-            p = lcs / len(cand) if cand else 0.0
-            r = lcs / len(ref) if ref else 0.0
-            if p and r:
-                f = ((1 + beta ** 2) * p * r) / (r + beta ** 2 * p)
-                best = max(best, f)
-        scores.append(best)
+            if cand:
+                prec_max = max(prec_max, lcs / len(cand))
+            if ref:
+                rec_max = max(rec_max, lcs / len(ref))
+        if prec_max and rec_max:
+            scores.append(((1 + beta ** 2) * prec_max * rec_max)
+                          / (rec_max + beta ** 2 * prec_max))
+        else:
+            scores.append(0.0)
     return sum(scores) / max(len(scores), 1)
 
 

@@ -14,7 +14,6 @@ Usage: python -m video_learning_tpu.tools.process_annotations config.yml
 
 import json
 import os
-import string
 import sys
 
 import yaml
@@ -70,13 +69,13 @@ def read_replacements(vocab_replacement_file):
 def preprocess_captions(imgs_json, vocab_replacement_file=None):
     """Lowercase, strip punctuation, tokenize; apply replacements
     (reference :74-97)."""
-    translator = str.maketrans("", "", string.punctuation)
+    from video_learning_tpu.data.captions import normalize_caption
     replacements = (read_replacements(vocab_replacement_file)
                     if vocab_replacement_file else None)
     for img in imgs_json:
         img["processed_tokens"] = []
         for s in img["raw_captions"]:
-            toks = str(s).lower().translate(translator).strip().split()
+            toks = normalize_caption(s)
             if replacements:
                 out = []
                 for t in toks:
