@@ -65,8 +65,25 @@ def _to_numpy(leaf):
 
 
 # ------------------------------------------------------------------- public
+def _reject_tuple_nodes(tree, prefix=""):
+    """Tuples flatten like lists but cannot be assigned into on restore
+    (_assign_flat); failing at save time keeps the formats symmetric
+    instead of producing an unrestorable checkpoint."""
+    if isinstance(tree, tuple):
+        error("State pytree contains an immutable tuple node at [%s]; "
+              "convert to a list before saving (see Train.state_dict)."
+              % (prefix or "<root>"))
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _reject_tuple_nodes(v, prefix + str(k) + _SEP)
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            _reject_tuple_nodes(v, prefix + str(i) + _SEP)
+
+
 def save_checkpoint(path, state):
     """Serialize a state pytree to ``path`` (a flat numpy dict pickle)."""
+    _reject_tuple_nodes(state)
     flat = {k: _to_numpy(v) for k, v in flatten_tree(state).items()}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

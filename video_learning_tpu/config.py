@@ -100,6 +100,7 @@ class Settings:
         self.print_tensors = False
         self.email_notify = None
         self.save_freq_per_epoch = 1
+        self.profile_steps = None
         self.timestamp = None
         self.logger = None
         self.seed = 0
@@ -273,6 +274,10 @@ class Settings:
         self.tensorboard_folder = logcfg.get("tensorboard_folder",
                                              "tensorboard")
         self.print_tensors = bool(logcfg.get("print_tensors", False))
+        # optional [start_step, num_steps] to capture a jax.profiler trace
+        profile = parse_seq(logcfg.get("profile"))
+        self.profile_steps = (int(profile[0]), int(profile[1])) \
+            if profile else None
         self.email_notify = logcfg.get("email_notify")
         if self.email_notify:
             self.email_notify = prep_email(self.email_notify)

@@ -72,6 +72,14 @@ class FeedPrefetcher:
                 yield item
         finally:
             cancelled.set()
+            # never abandon a live producer: a stale thread finishing a
+            # blocking get_feed after the caller rewinds the feeder would
+            # silently advance the fresh cursors (skipped/dup batches)
             worker.join(timeout=30)
+            while worker.is_alive():
+                from video_learning_tpu.utils import warning
+                warning("Prefetch worker still draining a blocking read; "
+                        "waiting before releasing the feeder")
+                worker.join(timeout=30)
         if exc:
             raise exc[0]

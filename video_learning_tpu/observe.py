@@ -50,9 +50,13 @@ class StepProfiler:
         self.start_step = start_step
         self.stop_step = start_step + num_steps
         self._active = False
+        self._done = False
 
     def maybe_start(self, step):
-        if not self._active and step == self.start_step:
+        # >= not ==: step counters can jump over start_step (scan-fused
+        # multi-step chunks, resume at a later global step)
+        if not self._active and not self._done and \
+                step >= self.start_step and step < self.stop_step:
             os.makedirs(self.out_dir, exist_ok=True)
             jax.profiler.start_trace(self.out_dir)
             self._active = True
@@ -62,4 +66,5 @@ class StepProfiler:
         if self._active and step >= self.stop_step:
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True
             info("Profiler trace written to %s" % self.out_dir)

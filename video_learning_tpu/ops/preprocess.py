@@ -23,10 +23,26 @@ import jax.numpy as jnp
 from video_learning_tpu.defs import defs
 
 
-def supports_device_path(imgproc):
-    """The device path covers crop/mean/mirror chains; host-resize modes
-    (resize) are excluded for parity reasons."""
-    return defs.imgproc.resize not in (imgproc or [])
+def supports_device_path(imgproc, dataset=None):
+    """The device path covers crop/mean/mirror chains.  Excluded:
+    host-resize modes (resize, for PIL parity); raw-disk datasets whose
+    frames arrive at native size (only the host path raw_resizes them
+    before cropping); crop chains without precomputed offsets
+    (draw_params would silently emit all-zero crop corners)."""
+    imgproc = imgproc or []
+    if defs.imgproc.resize in imgproc:
+        return False
+    if dataset is not None:
+        if defs.imgproc.raw_resize in imgproc and \
+                getattr(dataset, "data_format", None) == \
+                defs.data_format.raw:
+            return False
+        wants_crop = (defs.imgproc.rand_crop in imgproc or
+                      defs.imgproc.center_crop in imgproc)
+        proc = getattr(dataset, "processor", None)
+        if wants_crop and (proc is None or proc.crop_h is None):
+            return False
+    return True
 
 
 def _one(image, param, mean_image, out_h, out_w, do_crop, do_mean,

@@ -55,8 +55,13 @@ def make_mesh(mesh_shape=None, devices=None):
         error("Mesh shape data=%d x model=%d exceeds %d devices"
               % (data, model, n))
     arr = np.asarray(devices[:data * model]).reshape(data, model)
+    used = data * model
     info("Mesh: %d devices as (%s=%d, %s=%d)"
-         % (n, DATA_AXIS, data, MODEL_AXIS, model))
+         % (used, DATA_AXIS, data, MODEL_AXIS, model))
+    if used < n:
+        from video_learning_tpu.utils import warning
+        warning("Mesh uses %d of %d available devices; %d idle "
+                "(raise mesh_shape to use them)" % (used, n, n - used))
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -12,6 +12,7 @@ Usage: python -m video_learning_tpu.run_task config.yml
 
 import argparse
 import math
+import os
 import time
 
 import jax
@@ -69,6 +70,12 @@ def do_train(settings, engine, feeder, model, writer):
     required_input = model.required_input
     run_batch_count = 0
     min_train_loss = (1e9, -1)
+    profiler = None
+    if getattr(settings, "profile_steps", None):
+        from video_learning_tpu.observe import StepProfiler
+        profiler = StepProfiler(
+            os.path.join(settings.run_folder, "profile"),
+            settings.profile_steps[0], settings.profile_steps[1])
     info("Starting train")
     def prepare(feed, batches):
         # runs in the prefetch thread: caption framing + padding + the
@@ -86,8 +93,12 @@ def do_train(settings, engine, feeder, model, writer):
                             len(feed["labels"]), 0,
                             batch_index=batch_index + 1)
             run_batch_count += 1
+            if profiler:
+                profiler.maybe_start(engine.global_step)
             metrics = engine.run_step(feed)
             settings.global_step = engine.global_step
+            if profiler:
+                profiler.maybe_stop(engine.global_step)
             if metrics["loss"] < min_train_loss[0]:
                 min_train_loss = (metrics["loss"], engine.global_step)
             nats = metrics["loss"] / math.log(settings.num_classes)

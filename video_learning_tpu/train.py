@@ -234,7 +234,7 @@ class Train:
                 continue
             d = dsets[0]
             if d.device_preprocess and d.processor is not None:
-                if not supports_device_path(d.imgproc):
+                if not supports_device_path(d.imgproc, d):
                     error("Device preprocessing unsupported for imgproc %s"
                           % d.imgproc)
                 # emit frames directly in the compute dtype: the first
@@ -305,9 +305,8 @@ class Train:
         """Shard/replicate params + opt state onto the mesh.  Placing both
         up-front keeps jit input shardings identical to output shardings,
         so the step executable compiles exactly once."""
-        shardings = param_shardings(self.params, self.mesh)
-        self.params = jax.tree_util.tree_map(jax.device_put, self.params,
-                                             shardings)
+        from video_learning_tpu.parallel.sharding import shard_params
+        self.params = shard_params(self.params, self.mesh)
         repl = mesh_mod.replicated(self.mesh)
         self.opt_state = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, repl)

@@ -62,7 +62,7 @@ class Validation:
             dsets = self.settings.feeder.get_dataset_by_tag(tag)
             if dsets and dsets[0].device_preprocess and \
                     dsets[0].processor is not None:
-                if not supports_device_path(dsets[0].imgproc):
+                if not supports_device_path(dsets[0].imgproc, dsets[0]):
                     error("Device preprocessing unsupported for imgproc %s"
                           % dsets[0].imgproc)
                 self._preprocessors[key] = make_preprocessor(
