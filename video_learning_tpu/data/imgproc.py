@@ -53,8 +53,15 @@ def compute_crop(raw_image_shape, image_shape, mode):
         return tuple(int(np.floor((r - d) / 2))
                      for r, d in zip(raw_image_shape[:2], image_shape[:2]))
     if mode == defs.imgproc.rand_crop:
-        crop_h = list(range(0, raw_image_shape[0] - image_shape[0] - 1))
-        crop_w = list(range(0, raw_image_shape[1] - image_shape[1] - 1))
+        # full valid offset range 0..raw-desired inclusive (the reference
+        # excludes the last two offsets and crashes when raw-desired <= 1,
+        # dataset_.py:571-577; intentionally fixed here)
+        if raw_image_shape[0] < image_shape[0] or \
+                raw_image_shape[1] < image_shape[1]:
+            error("Crop target %s exceeds raw shape %s"
+                  % (tuple(image_shape[:2]), tuple(raw_image_shape[:2])))
+        crop_h = list(range(0, raw_image_shape[0] - image_shape[0] + 1))
+        crop_w = list(range(0, raw_image_shape[1] - image_shape[1] + 1))
         return crop_h, crop_w
     error("Unknown crop mode %s" % mode)
 
@@ -102,10 +109,13 @@ class ImageProcessor:
         both by process() and by the batched on-device preprocessor so the
         two paths consume identical randomness."""
         params = np.zeros((n, 3), dtype=np.int32)
-        rand_crop = (defs.imgproc.rand_crop in self.imgproc and
-                     self.crop_h is not None)
-        center_crop = (defs.imgproc.center_crop in self.imgproc and
-                       self.crop_h is not None)
+        rand_crop = defs.imgproc.rand_crop in self.imgproc
+        center_crop = defs.imgproc.center_crop in self.imgproc
+        if (rand_crop or center_crop) and self.crop_h is None:
+            # fail at the mechanism, not at distant call-site guards:
+            # zero-filled corners would silently crop every frame top-left
+            error("draw_params needs precomputed crop offsets "
+                  "(raw_image_shape unset?)")
         rand_mirror = defs.imgproc.rand_mirror in self.imgproc
         # draw per-image in the same order process() consumes randomness
         # (crop_y, crop_x, then mirror; dataset_.py:481-501), so the host

@@ -157,11 +157,32 @@ class RecordReader:
         if magic != MAGIC:
             error("Bad record file magic in %s" % path)
         idx_path = path + ".idx"
+        self._offsets = None
         if os.path.exists(idx_path):
-            self._offsets = np.fromfile(idx_path, dtype=np.uint64)
-        else:
+            offsets = np.fromfile(idx_path, dtype=np.uint64)
+            if self._index_consistent(offsets):
+                self._offsets = offsets
+            else:
+                from video_learning_tpu.utils import warning
+                warning("Stale/corrupt index sidecar %s; rescanning %s"
+                        % (idx_path, path))
+        if self._offsets is None:
             self._offsets = self._scan_offsets()
         self._cursor = 0
+
+    def _index_consistent(self, offsets):
+        """Cheap sanity check that a pre-existing .idx matches the data
+        file (a killed packer can leave a sidecar from a previous run):
+        the last offset's header and payload must lie within the file."""
+        if len(offsets) == 0:
+            return False
+        size = os.fstat(self._f.fileno()).st_size
+        last = int(offsets[-1])
+        if last + _HDR.size > size:
+            return False
+        self._f.seek(last)
+        length, _ = _HDR.unpack(self._f.read(_HDR.size))
+        return last + _HDR.size + length <= size
 
     def _scan_offsets(self):
         offsets = []
@@ -238,10 +259,13 @@ def concatenate(shard_paths, out_path, remove_shards=False):
                 magic = f.read(len(MAGIC))
                 if magic != MAGIC:
                     error("Bad shard magic in %s" % shard)
-                data = f.read()
-            out.write(data)
+                import shutil
+                copied = os.fstat(f.fileno()).st_size - len(MAGIC)
+                # chunked byte append: shards can be many GB, never
+                # materialize one fully in memory
+                shutil.copyfileobj(f, out, length=16 * 1024 * 1024)
             offsets.append(shard_offsets - len(MAGIC) + pos)
-            pos += len(data)
+            pos += copied
     np.concatenate(offsets).astype(np.uint64).tofile(out_path + ".idx")
     if remove_shards:
         for shard in shard_paths:

@@ -61,6 +61,8 @@ def sample_rand_frames(num_frames, fpc, rng, path="", strategy=None,
                        log=None):
     """One clip of ``fpc`` random frame indices (serialize.py:269-291).
     Returns a list of clips (0 or 1)."""
+    if num_frames == 0:
+        error("No frames for path [%s]" % path)
     idxs = list(range(num_frames))
     rng.shuffle(idxs)
     missing = fpc - num_frames
@@ -70,7 +72,9 @@ def sample_rand_frames(num_frames, fpc, rng, path="", strategy=None,
         _handle_shortfall(msg, path, strategy, log)
         if strategy == defs.generation_error.report:
             return []
-        idxs.extend(rng.choice(idxs) for _ in range(missing))
+        # evaluate the draws BEFORE extending: a lazy generator would
+        # re-sample its own freshly appended duplicates
+        idxs.extend([rng.choice(idxs) for _ in range(missing)])
     return [idxs[:fpc]]
 
 
@@ -101,8 +105,8 @@ def sample_rand_clips(num_frames, fpc, cpv, rng, path="", strategy=None,
         _handle_shortfall(msg, path, strategy, log)
         if strategy == defs.generation_error.report:
             return []
-        possible_starts.extend(rng.choice(possible_starts)
-                               for _ in range(missing_clips))
+        possible_starts.extend([rng.choice(possible_starts)
+                                for _ in range(missing_clips)])
 
     starts = []
     pool = list(possible_starts)
@@ -120,6 +124,8 @@ def sample_iterative(num_frames, fpc, offset, rng=None, path="",
                      strategy=None, log=None):
     """All sequential clips spaced ``fpc + offset`` frames apart
     (serialize.py:357-378)."""
+    if num_frames == 0:
+        error("No frames for path [%s]" % path)
     missing = fpc - num_frames
     frames = list(range(num_frames))
     if missing > 0:
@@ -128,7 +134,7 @@ def sample_iterative(num_frames, fpc, offset, rng=None, path="",
         _handle_shortfall(msg, path, strategy, log)
         if strategy == defs.generation_error.report:
             return []
-        frames.extend(rng.choice(frames) for _ in range(missing))
+        frames.extend([rng.choice(frames) for _ in range(missing)])
         num_frames = len(frames)
     stride = fpc + offset
     starts = range(0, num_frames - fpc + 1, stride)

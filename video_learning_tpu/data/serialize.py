@@ -96,7 +96,14 @@ class SerializationSettings:
         self.num_items_per_thread = int(config.get("num_items_per_thread",
                                                    500))
         self.num_processes = int(config.get("num_processes", 1))
-        self.raw_image_shape = parse_shape(config.get("raw_image_shape"))
+        if "raw_image_shape" in config:
+            # explicit null is a deliberate no-resize request; an absent
+            # key keeps the documented default rather than silently
+            # packing frames at varying native sizes
+            self.raw_image_shape = parse_shape(config["raw_image_shape"])
+        else:
+            info("raw_image_shape not set; using default %s"
+                 % (self.raw_image_shape,))
         self.clip_offset_or_num = int(config.get("clip_offset_or_num", 1))
         self.num_frames_per_clip = int(config.get("num_frames_per_clip", 16))
         self.clipframe_mode = defs.check(config["clipframe_mode"],
@@ -135,14 +142,26 @@ def read_file(inp, settings):
     max_num_labels = -1
     paths, labels = [], []
     with open(inp, "r") as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line:
                 continue
+            if " " not in line:
+                error("Malformed line %d in %s (expected 'path label...'):"
+                      " %r" % (lineno, inp, line))
             path, label = line.split(" ", 1)
-            if not any(c in string.ascii_letters for c in path):
+            is_numeric = not any(c in string.ascii_letters for c in path)
+            if not is_numeric:
+                # scientific notation ('1.2e-05,...') contains the letter
+                # 'e' but is still a feature value, not a path
+                try:
+                    float(path.split(",")[0])
+                    is_numeric = True
+                except ValueError:
+                    pass
+            if is_numeric:
                 mode = defs.input_mode.vectors
-                info("Set input mode to [%s] due to non-letter path value."
+                info("Set input mode to [%s] due to numeric path value."
                      % mode)
                 break
             label = [int(l) for l in label.split()]
