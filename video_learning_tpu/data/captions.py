@@ -103,7 +103,11 @@ def labels_to_words(raw_batch_labels, embedding_matrix, vocabulary,
     for batch_index, item_labels in enumerate(raw_batch_labels):
         item_labels = [int(x) for x in (item_labels if isinstance(
             item_labels, (list, tuple)) else [item_labels])]
-        input_len = 1 + len(item_labels)  # BOS + caption
+        if include_labels and 1 + len(item_labels) > T:
+            # BOS + caption must fit the padded grid; overflowing rows
+            # would spill non_pad indices into the next item's slots
+            error("Caption of %d tokens exceeds max sequence length %d"
+                  % (len(item_labels), T))
         vectors = embedding_matrix[[bos_index], :]
         if include_labels:
             vectors = np.vstack((vectors,
@@ -140,15 +144,17 @@ def image_ids_from_paths_file(record_path, start_index, count):
     parts = record_path.split(".")
     image_paths_file = ".".join(parts[:-1])
     ids = []
+    item_no = 0  # dataset items skip blank lines, so count non-blank only
     with open(image_paths_file, "r") as fp:
-        for line_no, line in enumerate(fp):
-            if line_no < start_index:
-                continue
-            if len(ids) == count:
-                break
+        for line in fp:
             fields = line.strip().split()
             if not fields:
                 continue
+            item_no += 1
+            if item_no - 1 < start_index:
+                continue
+            if len(ids) == count:
+                break
             filename = os.path.basename(fields[0]).split(".")[0]
             image_id = filename.split("_")[-1]
             try:

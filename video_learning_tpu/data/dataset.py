@@ -98,6 +98,7 @@ class Dataset:
         self.host_shards = 1
         self.host_shard_index = 0
         self._shard_record_offset = 0
+        self._shard_item_offset = 0
         # per-epoch reshuffling (TPU-native addition)
         self.epoch_shuffle = False
         self.shuffle_seed = 0
@@ -256,6 +257,7 @@ class Dataset:
             info("Host sharding drops %d remainder item(s) to keep "
                  "per-host step counts identical" % dropped)
         lo, hi = idx * per, (idx + 1) * per
+        self._shard_item_offset = lo
         fpc = self.num_frames_per_clip or 1
         if self.clips_per_video is not None and \
                 not isinstance(self.clips_per_video, int):
@@ -585,8 +587,11 @@ class Dataset:
 
     def validation_logits_to_captions(self, logits, start_index=0):
         from video_learning_tpu.data import captions
+        # a host-sharded dataset decodes only items [shard_lo, shard_hi);
+        # id recovery reads the global paths file, so offset accordingly
         return captions.validation_logits_to_captions(
-            logits, self.path, self.vocabulary, self.eval_type, start_index)
+            logits, self.path, self.vocabulary, self.eval_type,
+            self._shard_item_offset + start_index)
 
     def tell(self):
         """Pretty status line (dataset_.py:814-825)."""

@@ -59,10 +59,10 @@ class Feeder:
             for i, dset in enumerate(self.datasets.get(phase, [])):
                 info("Reading dataset %d/%d : [%s]"
                      % (i + 1, len(self.datasets[phase]), dset.id))
-                if defs.phase.train in self.phases and self.train:
+                if phase == defs.phase.train and self.train:
                     dset.calculate_batches(self.train.batch_size,
                                            self.input_mode)
-                elif defs.phase.val in self.phases and self.val:
+                elif phase == defs.phase.val and self.val:
                     dset.calculate_batches(self.val.batch_size,
                                            self.input_mode)
 
@@ -108,7 +108,6 @@ class Feeder:
         (reference feeder.py:84-106).  Returns (feed dict, batches dict)."""
         batches = self.get_next_batch()
         feed = {}
-        num_labels = None
         for name, itype, itag in required_input:
             if itag not in batches:
                 error("No dataset with tag [%s] for required input [%s]"
@@ -119,13 +118,12 @@ class Feeder:
                 if batch.proc_params is not None:
                     feed[name + "/proc_params"] = batch.proc_params
             elif itype == defs.net_input.labels:
+                if batch.labels is None:
+                    error("Dataset [%s] produced no labels for required "
+                          "input [%s]" % (itag, name))
                 feed[name] = batch.labels
-                num_labels = len(batch.labels)
             else:
                 error("Unknown net input type [%s]" % itype)
-        if num_labels is None and any(
-                t == defs.net_input.labels for _, t, _ in required_input):
-            error("Unset num labels in feed!")
         return feed, batches
 
     # ------------------------------------------------------------- cadence
@@ -133,9 +131,11 @@ class Feeder:
         if not self.train:
             self.save_interval, self.num_saves = -1, 0
             return
-        for dset in self.datasets[self.phase]:
-            self.save_interval, self.num_saves = dset.compute_dataset_portion(
-                self.save_freq_per_epoch, self.train.epochs)
+        # cadence follows the first (main) dataset; aux datasets may
+        # have different batch plans and must not override it
+        dset = self.datasets[self.phase][0]
+        self.save_interval, self.num_saves = dset.compute_dataset_portion(
+            self.save_freq_per_epoch, self.train.epochs)
 
     def should_save(self, step):
         if self.save_interval < 0 or self.phase == defs.phase.val:
@@ -143,14 +143,24 @@ class Feeder:
         return step % self.save_interval == 0
 
     # ------------------------------------------------------ save / restore
-    def _resolve_checkpoint(self, resume_file):
+    def _resolve_checkpoint(self, resume_file, require_snap=False):
         """Resolve 'latest' to the newest checkpoint in the run folder
-        (reference feeder.py:146-160)."""
+        (reference feeder.py:146-160).  With require_snap, checkpoints
+        whose ``.snap`` sidecar is missing (a save interrupted between
+        the atomic param write and the sidecar write) are skipped with a
+        warning instead of bricking every subsequent resume."""
         if resume_file == defs.names.latest_savefile:
             ckpts = get_run_checkpoints(self.run_folder)
             if not ckpts:
                 error("Resume requested but no checkpoints in %s"
                       % self.run_folder)
+            if require_snap:
+                from video_learning_tpu.utils import warning
+                for ckpt in reversed(ckpts):
+                    if os.path.exists(ckpt + ".snap"):
+                        return ckpt
+                    warning("Skipping checkpoint without .snap sidecar "
+                            "(interrupted save?): %s" % ckpt)
             return ckpts[-1]
         return resume_file
 
@@ -159,7 +169,7 @@ class Feeder:
         sidecar (reference feeder.py:143-194).  Returns (epoch, step)."""
         if not self.resume:
             return 0, 0
-        ckpt = self._resolve_checkpoint(resume_file)
+        ckpt = self._resolve_checkpoint(resume_file, require_snap=True)
         snap_path = ckpt + ".snap"
         info("Resuming training position from [%s]" % snap_path)
         if not os.path.exists(snap_path):

@@ -102,26 +102,22 @@ class defs:
         for part in parts[1:]:
             if not belongs_ok:
                 belongs_ok = current is should_belong_to
-            nxt = getattr(current, part, None)
-            if nxt is None:
+            nxt = getattr(current, part, None) \
+                if not part.startswith("_") else None
+            if nxt is None or callable(nxt):
+                # private attributes and methods are not config values
+                # (reference defs_.py:6-34 filters routines via inspect)
                 return fail("Parameter [%s] is not defined for [%s]"
                             % (part, current))
             current = nxt
+        if not isinstance(current, str) and current is not should_belong_to:
+            return fail("Parameter [%s] does not name an enum value" % arg)
         if not belongs_ok:
             return fail("Supplied parameter [%s] should be a child of def [%s]"
                         % (arg, should_belong_to))
         if do_boolean:
             return (True, current)
         return current
-
-    # convenience used by the optimizer setup (reference defs_.py:81-84)
-    @staticmethod
-    def optim_adapts_lr(optimizer):
-        return optimizer in (defs.optim.rmsprop, defs.optim.adam)
-
-    @staticmethod
-    def optim_uses_momentum(optimizer):
-        return optimizer not in (defs.optim.sgd,)
 
     @staticmethod
     def imgproc_to_str(vec):

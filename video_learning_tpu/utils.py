@@ -221,7 +221,10 @@ def print_tensor(tensor, message):
     code when DEBUG logging is active (counterpart of the reference's
     tf.Print injection, utils_.py:195-208; implemented with
     jax.debug.print so it survives tracing)."""
-    if CustomLogger.get_logging_level() > logging.DEBUG:
+    if CustomLogger.get_logging_level() != logging.DEBUG:
+        # reference semantics (utils_.py:195-208): taps only when the
+        # level is exactly DEBUG; an unconfigured logger (NOTSET == 0)
+        # must not inject host callbacks into compiled graphs
         return tensor
     if tensor is None:
         debug("[null tensor] " + message)
