@@ -2,8 +2,8 @@
 packed tiny video dataset: loss decreases, checkpoints + snap sidecars are
 written, resume restores position, validation writes an accuracy file."""
 
+import json
 import os
-import pickle
 
 import numpy as np
 import pytest
@@ -162,8 +162,8 @@ def test_resume_training(packed_tree):
                           epochs=2)
     run_task.main(str(cfg2))
     latest = max(ckpt_dir.glob("*.snap"), key=os.path.getmtime)
-    with open(latest, "rb") as f:
-        batch_idx, epoch_idx, gstep = pickle.load(f)
+    with open(latest, "r") as f:
+        batch_idx, epoch_idx, gstep = json.load(f)
     assert gstep == 4  # 2 epochs x 2 batches total
     assert epoch_idx == 1
 

@@ -1,8 +1,8 @@
 """Checkpointing: save/restore of parameter + optimizer pytrees.
 
 TPU-native counterpart of the reference's TF-Saver checkpoints + ``.snap``
-sidecars (/root/reference/feeder.py:198-288).  A checkpoint is a single
-pickle of a flat {slash/joined/name: numpy array} dict plus scalar leaves,
+sidecars (/root/reference/feeder.py:198-288).  A checkpoint is a data-only ``.npz``
+archive of a flat {slash/joined/name: numpy array} dict plus scalar leaves,
 which makes the reference's *name-diffing* restore semantics
 (feeder.py:224-249) straightforward: variables present in exactly one side
 are reported, ignorable names are skipped, and everything that matches by
@@ -82,18 +82,36 @@ def _reject_tuple_nodes(tree, prefix=""):
 
 
 def save_checkpoint(path, state):
-    """Serialize a state pytree to ``path`` (a flat numpy dict pickle)."""
+    """Serialize a state pytree to ``path`` as a data-only numpy ``.npz``
+    archive (a zip of raw ``.npy`` members) — never pickle, so restoring
+    a checkpoint from an untrusted or tampered file cannot execute code
+    (unlike pickle; the reference's TF-Saver format was data-only too)."""
     _reject_tuple_nodes(state)
-    flat = {k: _to_numpy(v) for k, v in flatten_tree(state).items()}
+    flat = {}
+    for k, v in flatten_tree(state).items():
+        arr = np.asarray(_to_numpy(v))
+        if arr.dtype == object:
+            error("Checkpoint leaf [%s] is not a plain numeric array "
+                  "(dtype=object); cannot save without pickle" % k)
+        flat[k] = arr
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(flat, f, protocol=4)
+        np.savez(f, **flat)
     os.replace(tmp, path)
 
 
 def load_flat(path):
     if is_orbax_checkpoint(path):
         return load_flat_orbax(path)
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic[:2] == b"PK":  # .npz zip container
+        with np.load(path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    # legacy (round-1) pickle checkpoint: loading executes pickle opcodes,
+    # so only trusted files should ever reach this branch
+    warning("Loading legacy pickle checkpoint [%s]; pickle can execute "
+            "code — only load checkpoints you trust" % path)
     with open(path, "rb") as f:
         return pickle.load(f)
 

@@ -13,6 +13,7 @@ Graph feed_dicts are replaced by plain dicts of numpy arrays consumed by the
 jitted train/eval step functions.
 """
 
+import json
 import os
 import pickle
 
@@ -174,8 +175,15 @@ class Feeder:
         info("Resuming training position from [%s]" % snap_path)
         if not os.path.exists(snap_path):
             error("Snapshot savefile does not exist: %s" % snap_path)
-        with open(snap_path, "rb") as f:
-            params = pickle.load(f)
+        try:
+            with open(snap_path, "r") as f:
+                params = json.load(f)
+        except (UnicodeDecodeError, json.JSONDecodeError):
+            # legacy (round-1) pickle sidecar — trusted-files-only path
+            from video_learning_tpu.utils import warning
+            warning("Loading legacy pickle .snap sidecar [%s]" % snap_path)
+            with open(snap_path, "rb") as f:
+                params = pickle.load(f)
         batch_info, epoch, global_step = params[0], params[1], params[2]
         for dset in self.get_datasets():
             idx = batch_info.get(dset.tag, 0) \
@@ -203,9 +211,12 @@ class Feeder:
         if batch_index is None:
             batch_index = self.get_batch_index()
         snap = [batch_index,
-                self.train.epoch_index if self.train else 0, global_step]
-        with open(base + ".snap", "wb") as f:
-            pickle.dump(snap, f)
+                self.train.epoch_index if self.train else 0,
+                int(global_step)]
+        # JSON (data-only) — resuming a tampered sidecar must not be able
+        # to execute code, unlike the round-1 pickle format
+        with open(base + ".snap", "w") as f:
+            json.dump(snap, f)
         self._prune_checkpoints()
         return base
 
@@ -229,7 +240,12 @@ class Feeder:
         self.compute_save_interval()
         if not self.resume:
             return state
-        ckpt = self._resolve_checkpoint(resume_file)
+        # in training, params must come from the same checkpoint that
+        # resume_snap() selected: require the .snap sidecar so a save
+        # interrupted between the atomic param write and the sidecar
+        # write cannot misalign params vs. data cursor / LR schedule
+        ckpt = self._resolve_checkpoint(resume_file,
+                                        require_snap=bool(self.train))
         info("Resuming parameters from: [%s]" % ckpt)
         if not os.path.exists(ckpt):
             error("Checkpoint does not exist: %s" % ckpt)

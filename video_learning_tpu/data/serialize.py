@@ -282,7 +282,10 @@ def serialize_multiprocess(item_paths, clips_per_item, frame_paths, labels,
                      frame_paths[lo:hi], labels[lo:hi],
                      settings.raw_image_shape))
     tic = time.time()
-    with get_context("fork").Pool(len(jobs)) as pool:
+    # spawn, not fork: the caller may already hold JAX/XLA threads, and
+    # forking a multithreaded process can deadlock workers.  Job args are
+    # plain picklable tuples, so spawn costs only interpreter startup.
+    with get_context("spawn").Pool(len(jobs)) as pool:
         shard_paths = pool.map(_pack_shard, jobs)
     records.concatenate(shard_paths, outfile, remove_shards=True)
     info("Packed %d frames with %d processes in %s"

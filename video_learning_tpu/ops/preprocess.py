@@ -9,7 +9,7 @@ crop/mean/mirror arithmetic fuses into the first conv's input pipeline.
 Randomness (crop offsets, mirror flags) is drawn on the host by
 ImageProcessor.draw_params so the host (golden) and device paths consume
 identical parameters — pixel-parity is tested in
-tests/test_preprocess_device.py.
+tests/test_preprocess_val.py.
 
 ``resize`` modes stay on the host: PIL-bilinear uint8 resize is a
 reference-parity semantic that jax.image.resize does not reproduce exactly.

@@ -338,6 +338,16 @@ class Train:
                         self.data_sharding, np.asarray(v))
                 else:
                     out[k] = jax.device_put(v, self.data_sharding)
+            elif procs > 1 and getattr(v, "ndim", 0) >= 1:
+                # a host-local numpy array reaching the SPMD step in a
+                # multi-controller run would be treated as replicated even
+                # though each host holds different rows — silent cross-host
+                # divergence.  Fail loudly instead.
+                error("Feed array [%s] global batch %d (local %d x %d "
+                      "procs) is not divisible by the data-axis size %d; "
+                      "pad the batch or resize the mesh"
+                      % (k, v.shape[0] * procs, v.shape[0], procs,
+                         data_size))
             else:
                 out[k] = v
         return out
