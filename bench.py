@@ -66,6 +66,182 @@ def _probe_accelerator(deadline=240):
         return False
 
 
+def _ensure_e2e_dataset(workdir, n_videos, fpc, raw_hw, num_classes):
+    """Pack a synthetic on-disk VLR dataset once (cached across runs).
+    One clip per video; frames are pseudorandom uint8 at the raw size."""
+    import os
+    from video_learning_tpu.data import records
+
+    base = os.path.join(workdir, "bench_videos.train")
+    rec = base + ".tfrecord"
+    if os.path.exists(rec) and os.path.exists(rec + ".size"):
+        meta = records.read_size_file(rec + ".size")
+        if meta["items"] == n_videos and meta["fpc"] == fpc:
+            return base
+    os.makedirs(workdir, exist_ok=True)
+    rng = np.random.RandomState(7)
+    with open(base, "w") as f:
+        for v in range(n_videos):
+            f.write("vid%05d %d\n" % (v, v % num_classes))
+    # one big random block, sliced per frame: ~10x faster than per-frame
+    # randint at these sizes
+    block = rng.randint(0, 256, (64,) + raw_hw + (3,), np.uint8)
+    with records.RecordWriter(rec) as w:
+        for v in range(n_videos):
+            for f in range(fpc):
+                w.write(records.encode_image_example(
+                    block[(v * fpc + f) % 64], [v % num_classes]))
+    records.write_size_file(n_videos, [1] * n_videos, rec, "video",
+                            1, fpc)
+    return base
+
+
+def run_e2e(args):
+    """End-to-end input-pipeline benchmark: feeder -> native gather read
+    (epoch_shuffle on, the production configuration) -> batch assembly ->
+    prefetch, against the device step rate at the same batch.
+
+    Reports min(host_pipeline, device_step) as the end-to-end rate: with
+    the bounded FeedPrefetcher the two stages run concurrently, so
+    steady-state throughput is the slower stage.  Host->device transfer is
+    excluded from the coupling on this environment because the tunnelled
+    TPU moves ~0.03 GB/s (measured; a 471MB uint8 batch takes ~14s to
+    ship vs 0.16s to compute) — a transfer-coupled number here measures
+    the tunnel, not the framework; on directly-attached TPUs (tens of
+    GB/s DMA) the transfer overlaps under the same prefetch depth.
+    Use --e2e-transfer to force the coupled loop anyway."""
+    import os
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from video_learning_tpu.parallel.mesh import init_platform
+    init_platform()
+    on_cpu = jax.devices()[0].platform == "cpu"
+
+    fpc = args.fpc
+    num_classes = 101
+    raw_hw, crop = (240, 320), 227
+    batch_clips = args.batch_clips or (2 if on_cpu else 128)
+    batches_per_epoch = 2 if on_cpu else 4
+    n_videos = batch_clips * batches_per_epoch
+    workdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_e2e")
+    sys.stderr.write("packing/loading e2e dataset (%d videos x %d fr)\n"
+                     % (n_videos, fpc))
+    base = _ensure_e2e_dataset(workdir, n_videos, fpc, raw_hw, num_classes)
+
+    from video_learning_tpu.data.dataset import Dataset
+    from video_learning_tpu.data.feeder import Feeder
+    from video_learning_tpu.data.prefetch import FeedPrefetcher
+    from video_learning_tpu.defs import defs
+
+    def make_feeder():
+        d = Dataset()
+        d.initialize("bench", base, [104.0, 117.0, 123.0], None,
+                     (crop, crop, 3),
+                     [defs.imgproc.rand_crop, defs.imgproc.sub_mean,
+                      defs.imgproc.rand_mirror],
+                     raw_hw + (3,), defs.data_format.tfrecord, "jpg",
+                     defs.batch_item.default, num_classes,
+                     defs.dataset_tag.main, 1)
+        d.epoch_shuffle = True
+        d.shuffle_seed = 0
+        d.device_preprocess = True
+        d.calculate_batches(batch_clips, defs.input_mode.video)
+        if d.native_reader is None:
+            sys.stderr.write("WARNING: native reader inactive; e2e "
+                             "measures the python fallback\n")
+        f = Feeder.__new__(Feeder)
+        f.datasets = {defs.phase.train: [d]}
+        f.phase = defs.phase.train
+        return f, d
+
+    required = [("frames_main_input", defs.net_input.visual,
+                 defs.dataset_tag.main),
+                ("labels", defs.net_input.labels, defs.dataset_tag.main)]
+
+    def host_epoch_rate():
+        feeder, dset = make_feeder()
+        rates = []
+        for epoch in range(3):  # epoch 0 warms the page cache
+            dset.rewind(next_epoch=True)
+            tic = time.time()
+            frames = 0
+            for feed, batches, bidx in FeedPrefetcher(feeder, required,
+                                                      depth=2):
+                frames += feed["frames_main_input"].shape[0]
+            dt = time.time() - tic
+            rates.append(frames / fpc / dt)
+        return float(np.median(rates[1:]))
+
+    host_cps = host_epoch_rate()
+    sys.stderr.write("host input pipeline: %.1f clips/s\n" % host_cps)
+
+    # device step rate at the same batch (short version of the default
+    # benchmark; same model/engine build)
+    compute_dtype = "float32" if on_cpu else "bfloat16"
+    settings, model, engine = build(batch_clips, fpc, raw_hw, crop,
+                                    num_classes, compute_dtype)
+    feeder, dset = make_feeder()
+    dset.rewind(next_epoch=True)
+    it = iter(FeedPrefetcher(feeder, required, depth=2))
+
+    import jax.numpy as jnp
+    steps = 2 if on_cpu else 10
+    many = engine.compile_scan_steps(steps)
+    rng_key = jax.random.PRNGKey(0)
+
+    if args.e2e_transfer:
+        # fully-coupled loop: host read -> pad/shard (H2D) -> device step.
+        # Meaningful on directly-attached TPUs; tunnel-dominated here.
+        p, o = engine.params, engine.opt_state
+        # warm-up compile on the first batch
+        feed, _, _ = next(it)
+        fd = engine._shard_feed(engine._pad_feed(feed))
+        p, o, m = many(p, o, fd, jnp.asarray(0), rng_key)
+        _ = float(m["loss"][-1])
+        tic = time.time()
+        n = 0
+        for feed, batches, bidx in it:
+            fd = engine._shard_feed(engine._pad_feed(feed))
+            p, o, m = many(p, o, fd, jnp.asarray(n * steps), rng_key)
+            _ = float(m["loss"][-1])
+            n += 1
+        dt = time.time() - tic
+        e2e_cps = n * batch_clips * steps / dt if n else 0.0
+        dev_cps = float("nan")
+    else:
+        feed, _, _ = next(it)
+        for _ in it:  # drain so the prefetch thread joins cleanly
+            pass
+        fd = engine._shard_feed(engine._pad_feed(feed))
+        p, o, m = many(engine.params, engine.opt_state, fd,
+                       jnp.asarray(0), rng_key)
+        _ = float(m["loss"][-1])
+        times = []
+        for r in range(3):
+            tic = time.time()
+            p, o, m = many(p, o, fd, jnp.asarray((r + 1) * steps), rng_key)
+            _ = float(m["loss"][-1])
+            times.append(time.time() - tic)
+        dev_cps = batch_clips * steps / float(np.median(times))
+        sys.stderr.write("device step rate: %.1f clips/s\n" % dev_cps)
+        e2e_cps = min(host_cps, dev_cps)
+
+    result = {
+        "metric": "e2e_train_clips_per_sec_per_chip_lstm_acrec_fpc%d"
+                  % fpc,
+        "value": round(e2e_cps, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(e2e_cps / CPU_BASELINE_CLIPS_PER_SEC, 2),
+        "host_pipeline_clips_per_sec": round(host_cps, 3),
+        "device_step_clips_per_sec": (None if args.e2e_transfer
+                                      else round(dev_cps, 3)),
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
@@ -73,7 +249,13 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch-clips", type=int, default=None)
     ap.add_argument("--fpc", type=int, default=16)
+    ap.add_argument("--e2e", action="store_true",
+                    help="end-to-end: feeder->prefetch->device")
+    ap.add_argument("--e2e-transfer", action="store_true",
+                    help="e2e with coupled per-batch H2D transfers")
     args = ap.parse_args()
+    if args.e2e or args.e2e_transfer:
+        return run_e2e(args)
 
     force_cpu = args.cpu
     if not force_cpu and not _probe_accelerator():

@@ -64,6 +64,7 @@ struct Reader {
   size_t size = 0;
   std::vector<uint64_t> offsets;
   std::string error;
+  bool random_hinted = false;
 };
 
 uint32_t read_u32(const uint8_t* p) {
@@ -106,6 +107,96 @@ void scan_offsets(Reader* r) {
     uint32_t len = read_u32(r->base + pos);
     pos += 8 + len;
   }
+}
+
+// Shared body for sequential (indices == nullptr: record i = start + i)
+// and gather (record i = indices[i]) image reads.  Error codes documented
+// at vlr_read_images below.
+int read_images_impl(Reader* r, int64_t start, const int64_t* indices,
+                     int64_t count, int32_t h, int32_t w, int32_t d,
+                     uint8_t* out_pixels, int32_t* out_labels,
+                     int32_t* out_nlab, int32_t max_labels, int verify) {
+  if (!r || count < 0) return -1;
+  const int64_t total = static_cast<int64_t>(r->offsets.size());
+  if (!indices && (start < 0 || start + count > total)) return -1;
+  const size_t frame_bytes = static_cast<size_t>(h) * w * d;
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t rec = indices ? indices[i] : start + i;
+    if (rec < 0 || rec >= total) return -1;
+    const uint64_t off = r->offsets[rec];
+    if (off + 8 > r->size) return -5;
+    const uint32_t len = read_u32(r->base + off);
+    const uint32_t crc = read_u32(r->base + off + 4);
+    const uint8_t* payload = r->base + off + 8;
+    if (off + 8 + len > r->size) return -5;
+    if (verify && crc32_of(payload, len) != crc) return -4;
+    if (len < 9) return -5;  // header must fit before any field read
+    if (payload[0] != kKindImage) return -2;
+    const uint16_t rh = read_u16(payload + 1);
+    const uint16_t rw = read_u16(payload + 3);
+    const uint16_t rd = read_u16(payload + 5);
+    const uint16_t nlab = read_u16(payload + 7);
+    if (rh != h || rw != w || rd != d) return -3;
+    const uint8_t* labels = payload + 9;
+    const uint8_t* pixels = labels + 4 * nlab;
+    if (9 + 4ul * nlab + frame_bytes > len) return -5;
+    if (nlab > max_labels) return -6;
+    out_nlab[i] = nlab;
+    for (int32_t l = 0; l < max_labels; ++l) {
+      int32_t v = -1;
+      if (l < nlab) std::memcpy(&v, labels + 4 * l, 4);
+      out_labels[i * max_labels + l] = v;
+    }
+    std::memcpy(out_pixels + i * frame_bytes, pixels, frame_bytes);
+  }
+  return 0;
+}
+
+// Shared body for sequential/gather vector reads (see read_images_impl).
+int read_vectors_impl(Reader* r, int64_t start, const int64_t* indices,
+                      int64_t count, int32_t dim, float* out_values,
+                      int32_t* out_labels, int32_t* out_nlab,
+                      int32_t max_labels, int verify) {
+  if (!r || count < 0) return -1;
+  const int64_t total = static_cast<int64_t>(r->offsets.size());
+  if (!indices && (start < 0 || start + count > total)) return -1;
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t rec = indices ? indices[i] : start + i;
+    if (rec < 0 || rec >= total) return -1;
+    const uint64_t off = r->offsets[rec];
+    if (off + 8 > r->size) return -5;
+    const uint32_t len = read_u32(r->base + off);
+    const uint32_t crc = read_u32(r->base + off + 4);
+    const uint8_t* payload = r->base + off + 8;
+    if (off + 8 + len > r->size) return -5;
+    if (verify && crc32_of(payload, len) != crc) return -4;
+    if (len < 7) return -5;  // header must fit before any field read
+    if (payload[0] != kKindVector) return -2;
+    uint32_t rdim = read_u32(payload + 1);
+    uint16_t nlab = read_u16(payload + 5);
+    if (static_cast<int32_t>(rdim) != dim) return -3;
+    const uint8_t* labels = payload + 7;
+    const uint8_t* values = labels + 4 * nlab;
+    if (7 + 4ul * nlab + 4ul * dim > len) return -5;
+    if (nlab > max_labels) return -6;
+    out_nlab[i] = nlab;
+    for (int32_t l = 0; l < max_labels; ++l) {
+      int32_t v = -1;
+      if (l < nlab) std::memcpy(&v, labels + 4 * l, 4);
+      out_labels[i * max_labels + l] = v;
+    }
+    std::memcpy(out_values + i * dim, values, 4ul * dim);
+  }
+  return 0;
+}
+
+// Gather reads touch the file out of order; drop the sequential-readahead
+// hint the first time one happens so the kernel stops prefetching ahead
+// of a cursor that is not advancing linearly.
+void hint_random(Reader* r) {
+  if (r->random_hinted) return;
+  madvise(const_cast<uint8_t*>(r->base), r->size, MADV_NORMAL);
+  r->random_hinted = true;
 }
 
 }  // namespace
@@ -168,75 +259,44 @@ int vlr_read_images(void* handle, int64_t start, int64_t count,
                     int32_t h, int32_t w, int32_t d,
                     uint8_t* out_pixels, int32_t* out_labels,
                     int32_t* out_nlab, int32_t max_labels, int verify) {
+  return read_images_impl(static_cast<Reader*>(handle), start, nullptr,
+                          count, h, w, d, out_pixels, out_labels,
+                          out_nlab, max_labels, verify);
+}
+
+// Indexed-gather variant: record i = indices[i].  Keeps the native path
+// usable under epoch shuffle, where the python fallback costs a
+// per-record interpreter round-trip.
+int vlr_read_images_at(void* handle, const int64_t* indices, int64_t count,
+                       int32_t h, int32_t w, int32_t d,
+                       uint8_t* out_pixels, int32_t* out_labels,
+                       int32_t* out_nlab, int32_t max_labels, int verify) {
   Reader* r = static_cast<Reader*>(handle);
-  if (!r || start < 0 ||
-      start + count > static_cast<int64_t>(r->offsets.size()))
-    return -1;
-  const size_t frame_bytes = static_cast<size_t>(h) * w * d;
-  for (int64_t i = 0; i < count; ++i) {
-    const uint64_t off = r->offsets[start + i];
-    if (off + 8 > r->size) return -5;
-    const uint32_t len = read_u32(r->base + off);
-    const uint32_t crc = read_u32(r->base + off + 4);
-    const uint8_t* payload = r->base + off + 8;
-    if (off + 8 + len > r->size) return -5;
-    if (verify && crc32_of(payload, len) != crc) return -4;
-    if (len < 9) return -5;  // header must fit before any field read
-    if (payload[0] != kKindImage) return -2;
-    const uint16_t rh = read_u16(payload + 1);
-    const uint16_t rw = read_u16(payload + 3);
-    const uint16_t rd = read_u16(payload + 5);
-    const uint16_t nlab = read_u16(payload + 7);
-    if (rh != h || rw != w || rd != d) return -3;
-    const uint8_t* labels = payload + 9;
-    const uint8_t* pixels = labels + 4 * nlab;
-    if (9 + 4ul * nlab + frame_bytes > len) return -5;
-    if (nlab > max_labels) return -6;
-    out_nlab[i] = nlab;
-    for (int32_t l = 0; l < max_labels; ++l) {
-      int32_t v = -1;
-      if (l < nlab) std::memcpy(&v, labels + 4 * l, 4);
-      out_labels[i * max_labels + l] = v;
-    }
-    std::memcpy(out_pixels + i * frame_bytes, pixels, frame_bytes);
-  }
-  return 0;
+  if (!r || !indices) return -1;
+  hint_random(r);
+  return read_images_impl(r, 0, indices, count, h, w, d, out_pixels,
+                          out_labels, out_nlab, max_labels, verify);
 }
 
 // Vector-record variant: out_values is count*dim float32.
 int vlr_read_vectors(void* handle, int64_t start, int64_t count,
                      int32_t dim, float* out_values, int32_t* out_labels,
                      int32_t* out_nlab, int32_t max_labels, int verify) {
+  return read_vectors_impl(static_cast<Reader*>(handle), start, nullptr,
+                           count, dim, out_values, out_labels, out_nlab,
+                           max_labels, verify);
+}
+
+// Indexed-gather vector variant (see vlr_read_images_at).
+int vlr_read_vectors_at(void* handle, const int64_t* indices,
+                        int64_t count, int32_t dim, float* out_values,
+                        int32_t* out_labels, int32_t* out_nlab,
+                        int32_t max_labels, int verify) {
   Reader* r = static_cast<Reader*>(handle);
-  if (!r || start < 0 ||
-      start + count > static_cast<int64_t>(r->offsets.size()))
-    return -1;
-  for (int64_t i = 0; i < count; ++i) {
-    const uint64_t off = r->offsets[start + i];
-    if (off + 8 > r->size) return -5;
-    const uint32_t len = read_u32(r->base + off);
-    const uint32_t crc = read_u32(r->base + off + 4);
-    const uint8_t* payload = r->base + off + 8;
-    if (off + 8 + len > r->size) return -5;
-    if (verify && crc32_of(payload, len) != crc) return -4;
-    if (len < 7) return -5;  // header must fit before any field read
-    if (payload[0] != kKindVector) return -2;
-    uint32_t rdim = read_u32(payload + 1);
-    uint16_t nlab = read_u16(payload + 5);
-    if (static_cast<int32_t>(rdim) != dim) return -3;
-    const uint8_t* labels = payload + 7;
-    const uint8_t* values = labels + 4 * nlab;
-    if (7 + 4ul * nlab + 4ul * dim > len) return -5;
-    if (nlab > max_labels) return -6;
-    out_nlab[i] = nlab;
-    for (int32_t l = 0; l < max_labels; ++l) {
-      int32_t v = -1;
-      if (l < nlab) std::memcpy(&v, labels + 4 * l, 4);
-      out_labels[i * max_labels + l] = v;
-    }
-    std::memcpy(out_values + i * dim, values, 4ul * dim);
-  }
-  return 0;
+  if (!r || !indices) return -1;
+  hint_random(r);
+  return read_vectors_impl(r, 0, indices, count, dim, out_values,
+                           out_labels, out_nlab, max_labels, verify);
 }
 
 // Shape of record `index`: fills kind, h/w/d (or dim in h), nlab.

@@ -134,3 +134,79 @@ def test_native_truncated_idx_rescans(tmp_path, lib):
     for i in range(6):
         assert np.array_equal(pixels[i], imgs[i])
     r.close()
+
+
+def test_native_gather_parity(tmp_path, lib):
+    """Indexed-gather reads (the shuffled-epoch path) return the same
+    records as sequential reads, at arbitrary permutations."""
+    path, imgs, labels = _write_images(tmp_path)
+    r = native.NativeReader(path, verify=True)
+    perm = np.array([7, 2, 9, 0, 5, 5, 1], np.int64)
+    px, lab, nlab = r.read_images_at(perm, (12, 9, 3), max_labels=4)
+    for k, i in enumerate(perm):
+        assert np.array_equal(px[k], imgs[i])
+        assert lab[k, :nlab[k]].tolist() == labels[i]
+    with pytest.raises(RuntimeError):
+        r.read_images_at(np.array([10], np.int64), (12, 9, 3))
+    with pytest.raises(RuntimeError):
+        r.read_images_at(np.array([-1], np.int64), (12, 9, 3))
+    r.close()
+
+
+def test_native_gather_vectors(tmp_path, lib):
+    path = str(tmp_path / "vecs.tfrecord")
+    rng = np.random.RandomState(1)
+    vecs = [rng.randn(6).astype(np.float32) for _ in range(5)]
+    with records.RecordWriter(path) as w:
+        for i, v in enumerate(vecs):
+            w.write(records.encode_vector_example(v, [i]))
+    r = native.NativeReader(path, verify=True)
+    idx = np.array([4, 1, 3], np.int64)
+    vals, lab, nlab = r.read_vectors_at(idx, 6, max_labels=2)
+    for k, i in enumerate(idx):
+        assert np.allclose(vals[k], vecs[i])
+        assert lab[k, 0] == i
+    r.close()
+
+
+def test_dataset_shuffled_epoch_keeps_native_reader(tmp_path, lib):
+    """epoch_shuffle (the production training configuration) must ride
+    the native gather path, and produce the same frame stream as the
+    pure-python reader."""
+    from video_learning_tpu.data.dataset import Dataset
+    from video_learning_tpu.defs import defs
+
+    def make(native_on):
+        path = str(tmp_path / "shuf.tfrecord")
+        rng = np.random.RandomState(3)
+        with records.RecordWriter(path) as w:
+            for i in range(8):
+                w.write(records.encode_image_example(
+                    rng.randint(0, 255, (12, 9, 3), np.uint8), [i % 4]))
+        base = path[:-len(".tfrecord")]
+        with open(base, "w") as f:
+            for i in range(8):
+                f.write("img%d.jpg %d\n" % (i, i % 4))
+        records.write_size_file(8, None, path, "image", 1, None)
+        d = Dataset()
+        d.initialize("sh", base, None, None, (12, 9, 3), [], None,
+                     defs.data_format.tfrecord, "jpg",
+                     defs.batch_item.default, 4, defs.dataset_tag.main, 1)
+        d.epoch_shuffle = True
+        d.shuffle_seed = 11
+        d.calculate_batches(4, defs.input_mode.image)
+        if not native_on:
+            d.native_reader = None
+        d.rewind(next_epoch=False)
+        return d
+
+    d_native, d_python = make(True), make(False)
+    assert d_native.native_reader is not None
+    while d_native.loop():
+        assert d_python.loop()
+        bn, bp = d_native.get_next_batch(), d_python.get_next_batch()
+        assert np.array_equal(bn.visual, bp.visual)
+        assert np.array_equal(np.asarray(bn.labels),
+                              np.asarray(bp.labels))
+    # the gather path must actually have been used, not fallen back
+    assert d_native.native_reader is not None

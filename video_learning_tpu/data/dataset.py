@@ -305,12 +305,24 @@ class Dataset:
 
     def _read_frames_native(self, count):
         if self.index_map is not None:
-            raise RuntimeError("native path bypassed under epoch shuffle")
-        pixels, labels, nlab = self.native_reader.read_images(
-            self._shard_record_offset + self.record_cursor, count,
-            self._native_shape, max_labels=64)
+            # shuffled epoch: gather-read at the permuted record indices
+            # (vlr_read_images_at) — the production configuration keeps
+            # the native path instead of per-record python loops
+            idx = np.asarray(
+                self.index_map[self.record_cursor:
+                               self.record_cursor + count],
+                dtype=np.int64) + self._shard_record_offset
+            pixels, labels, nlab = self.native_reader.read_images_at(
+                idx, self._native_shape, max_labels=64)
+        else:
+            pixels, labels, nlab = self.native_reader.read_images(
+                self._shard_record_offset + self.record_cursor, count,
+                self._native_shape, max_labels=64)
         self.record_cursor += count
-        images = list(pixels)
+        # the decoded block is already one contiguous (count,h,w,d) array;
+        # hand it through as-is so _process_images avoids a re-stack copy
+        # (471MB/batch on the flagship workload)
+        images = pixels
         out_labels = []
         for row, n in zip(labels, nlab):
             vals = row[:n].tolist()
@@ -318,7 +330,7 @@ class Dataset:
         return images, out_labels
 
     def _read_frames(self, count):
-        if self.native_reader is not None and self.index_map is None:
+        if self.native_reader is not None:
             try:
                 return self._read_frames_native(count)
             except Exception as ex:
@@ -375,11 +387,12 @@ class Dataset:
     def _process_images(self, images):
         """Apply the imgproc chain: host path returns processed float32;
         device path returns stacked uint8 + per-frame params."""
+        stack = (lambda x: x if isinstance(x, np.ndarray) else np.stack(x))
         if self.input_mode == defs.input_mode.vectors:
-            return np.stack(images), None
+            return stack(images), None
         if self.device_preprocess:
             params = self.processor.draw_params(len(images), self.rng)
-            return np.stack(images), params
+            return stack(images), params
         out = [self.processor.process(im, self.rng) for im in images]
         return np.stack(out).astype(np.float32), None
 

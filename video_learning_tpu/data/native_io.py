@@ -69,6 +69,18 @@ def get_library(auto_build=True):
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int]
+    lib.vlr_read_images_at.restype = ctypes.c_int
+    lib.vlr_read_images_at.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int]
+    lib.vlr_read_vectors_at.restype = ctypes.c_int
+    lib.vlr_read_vectors_at.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_int]
     lib.vlr_record_info.restype = ctypes.c_int
     lib.vlr_record_info.argtypes = [
         ctypes.c_void_p, ctypes.c_int64] + \
@@ -128,6 +140,52 @@ class NativeReader:
         if rc != 0:
             raise RuntimeError("vlr_read_images rc=%d" % rc)
         return pixels, labels, nlab
+
+    def read_images_at(self, indices, shape, max_labels=1):
+        """Gather-decode image records at explicit ``indices`` (any order;
+        the shuffled-epoch read path).  Same returns as read_images."""
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        count = len(idx)
+        h, w, d = (int(x) for x in shape)
+        pixels = np.empty((count, h, w, d), np.uint8)
+        labels = np.empty((count, max_labels), np.int32)
+        nlab = np.empty((count,), np.int32)
+        rc = self._lib.vlr_read_images_at(
+            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            count, h, w, d,
+            pixels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nlab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_labels, self.verify)
+        if rc == -6:
+            widest = max(self.record_info(int(i))[4] for i in idx)
+            if widest > max_labels:
+                return self.read_images_at(idx, shape, max_labels=widest)
+        if rc != 0:
+            raise RuntimeError("vlr_read_images_at rc=%d" % rc)
+        return pixels, labels, nlab
+
+    def read_vectors_at(self, indices, dim, max_labels=1):
+        """Gather-decode vector records at explicit ``indices``."""
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        count = len(idx)
+        values = np.empty((count, dim), np.float32)
+        labels = np.empty((count, max_labels), np.int32)
+        nlab = np.empty((count,), np.int32)
+        rc = self._lib.vlr_read_vectors_at(
+            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            count, dim,
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nlab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_labels, self.verify)
+        if rc == -6:
+            widest = max(self.record_info(int(i))[4] for i in idx)
+            if widest > max_labels:
+                return self.read_vectors_at(idx, dim, max_labels=widest)
+        if rc != 0:
+            raise RuntimeError("vlr_read_vectors_at rc=%d" % rc)
+        return values, labels, nlab
 
     def _widest_label_row(self, start, count):
         return max(self.record_info(start + i)[4] for i in range(count))
