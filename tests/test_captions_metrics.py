@@ -210,3 +210,61 @@ def test_rouge_l_max_precision_recall_independent():
     beta = 1.2
     expect = ((1 + beta ** 2) * 1.0 * 0.5) / (0.5 + beta ** 2 * 1.0)
     assert abs(rouge_l(cand, refs) - expect) < 1e-9
+
+
+def test_porter_stemmer_matches_reference_algorithm():
+    """Spot pairs from the Porter (1980) paper + suffix rules."""
+    from video_learning_tpu.metrics.porter import stem
+    pairs = [("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+             ("cats", "cat"), ("feed", "feed"), ("agreed", "agre"),
+             ("motoring", "motor"), ("hopping", "hop"), ("sized", "size"),
+             ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
+             ("conditional", "condit"), ("rational", "ration"),
+             ("generalizations", "gener"), ("oscillators", "oscil"),
+             ("controlling", "control"), ("running", "run")]
+    for word, expect in pairs:
+        assert stem(word) == expect, (word, stem(word), expect)
+
+
+def test_meteor_stem_stage_scores_morphological_variants():
+    """'running' must match reference 'runs' through the stem stage."""
+    refs = {1: ["the dog runs fast".split()]}
+    exact = ce.meteor_lite({1: "the dog runs fast".split()}, refs)
+    stemmed = ce.meteor_lite({1: "the dog running fast".split()}, refs)
+    none = ce.meteor_lite({1: "a cat sat quietly".split()}, refs)
+    # stem matches count like exact matches (METEOR semantics): the
+    # morphological variant scores identically, unrelated words score 0
+    assert stemmed == pytest.approx(exact)
+    assert stemmed > 0.9 > none
+    assert none == 0.0
+
+
+def test_meteor_matches_nltk_exact_plus_stem():
+    """Cross-validate the scorer against NLTK's METEOR restricted to the
+    same two match stages (dummy wordnet -> no synonym matches)."""
+    nltk_ms = pytest.importorskip("nltk.translate.meteor_score")
+
+    class _NoWordnet:
+        def synsets(self, word):
+            return []
+
+    # duplicate-free sentences: with repeated words NLTK's backward-greedy
+    # matcher can pick a different (more fragmented) alignment than our
+    # forward-greedy one; real METEOR minimizes chunks, which forward
+    # greedy approximates at least as well
+    cases = [
+        ("the quick brown fox jumps over a lazy dog",
+         ["that quick brown fox jumped over some lazy dog"]),
+        ("man is playing his guitar on stage",
+         ["a man plays guitars", "someone performing music live"]),
+        ("cats sitting on mats", ["a cat sits on the mat"]),
+        ("identical words here", ["identical words here"]),
+        ("completely unrelated tokens", ["nothing shared at all"]),
+    ]
+    for cand, refs in cases:
+        ours = ce.meteor_lite({1: cand.split()},
+                              {1: [r.split() for r in refs]})
+        theirs = nltk_ms.meteor_score([r.split() for r in refs],
+                                      cand.split(), wordnet=_NoWordnet())
+        assert ours == pytest.approx(theirs, abs=1e-9), (cand, ours,
+                                                         theirs)

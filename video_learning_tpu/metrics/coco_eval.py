@@ -162,26 +162,63 @@ def cider_d(candidates, references, max_n=4, sigma=6.0):
 
 
 # ----------------------------------------------------------------- METEOR
-def _meteor_chunks(cand, ref):
-    """Greedy exact alignment; returns (matches, chunks)."""
+def _meteor_align(cand, ref):
+    """Two-stage greedy alignment: exact word matches first, then
+    Porter-stem matches over the words both sides left unmatched
+    (the METEOR 1.5 matcher's first two modules; the jar additionally
+    runs WordNet-synonym and paraphrase-table stages,
+    /root/reference/tools/python2_coco_eval/pycocoevalcap/meteor/meteor.py:80).
+
+    Returns (m_exact, m_stem, chunks) where chunks counts maximal runs of
+    contiguous-in-both alignment pairs, over the union alignment."""
+    from video_learning_tpu.metrics.porter import stem
+
     ref_positions = defaultdict(list)
     for j, w in enumerate(ref):
         ref_positions[w].append(j)
     used = set()
-    alignment = []
+    alignment = {}
     for i, w in enumerate(cand):
         for j in ref_positions.get(w, ()):
             if j not in used:
                 used.add(j)
-                alignment.append((i, j))
+                alignment[i] = j
                 break
+    m_exact = len(alignment)
+
+    stem_positions = defaultdict(list)
+    for j, w in enumerate(ref):
+        if j not in used:
+            stem_positions[stem(w)].append(j)
+    for i, w in enumerate(cand):
+        if i in alignment:
+            continue
+        for j in stem_positions.get(stem(w), ()):
+            if j not in used:
+                used.add(j)
+                alignment[i] = j
+                break
+    m_stem = len(alignment) - m_exact
+
     if not alignment:
-        return 0, 0
+        return 0, 0, 0
+    pairs = sorted(alignment.items())
     chunks = 1
-    for (i0, j0), (i1, j1) in zip(alignment, alignment[1:]):
+    for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
         if i1 != i0 + 1 or j1 != j0 + 1:
             chunks += 1
-    return len(alignment), chunks
+    return m_exact, m_stem, chunks
+
+
+# Classic METEOR parameters (Banerjee & Lavie 2005; NLTK defaults):
+# fmean weight alpha, penalty exponent beta, penalty weight gamma.  The
+# reference's jar (METEOR 1.5) additionally runs WordNet-synonym and
+# paraphrase-table modules whose data upstream no longer ships
+# (.MISSING_LARGE_BLOBS); captions matched only through synonyms
+# therefore still score below the full jar.  Exact+stem behavior is
+# cross-validated against nltk.translate.meteor_score in
+# tests/test_captions_metrics.py.
+_METEOR_ALPHA, _METEOR_BETA, _METEOR_GAMMA = 0.9, 3.0, 0.5
 
 
 def meteor_lite(candidates, references):
@@ -189,14 +226,17 @@ def meteor_lite(candidates, references):
     for iid, cand in candidates.items():
         best = 0.0
         for ref in references[iid]:
-            m, chunks = _meteor_chunks(cand, ref)
+            m_exact, m_stem, chunks = _meteor_align(cand, ref)
+            m = m_exact + m_stem
             if m == 0:
                 continue
             p = m / len(cand)
             r = m / len(ref)
-            fmean = 10 * p * r / (r + 9 * p)
-            penalty = 0.5 * (chunks / m) ** 3
-            best = max(best, fmean * (1 - penalty))
+            fmean = p * r / (_METEOR_ALPHA * p +
+                             (1.0 - _METEOR_ALPHA) * r)
+            frag = chunks / m
+            penalty = _METEOR_GAMMA * frag ** _METEOR_BETA
+            best = max(best, fmean * (1.0 - penalty))
         scores.append(best)
     return sum(scores) / max(len(scores), 1)
 

@@ -272,7 +272,9 @@ def beam_decode(params, out_fc_params, visual, embedding_matrix, bos_index,
     beams (emitted EOS) are frozen: only an EOS continuation with
     unchanged score is allowed.
 
-    visual: (B, D) visual conditioning; modes: state_bias / input_concat.
+    visual: (B, D) visual conditioning; all three rnn_visual_mode
+    conditioning strategies are supported (state_bias / input_concat /
+    input_bias), mirroring greedy_decode.
     Returns (B, sequence_len) int32 tokens of each batch item's best beam.
     """
     from video_learning_tpu.models.layers import fc_apply
@@ -293,9 +295,15 @@ def beam_decode(params, out_fc_params, visual, embedding_matrix, bos_index,
     elif visual_mode == defs.rnn_visual_mode.input_concat:
         states = zero_state(B * K, num_hidden, num_layers)
         vis_k = expand(visual)
+    elif visual_mode == defs.rnn_visual_mode.input_bias:
+        # conditioning is applied by a pre-roll below (the visual vector
+        # fed once through the embedding input slot, lstm.py:732-810);
+        # its emission is never scored, matching greedy_decode's dropped
+        # first step
+        states = zero_state(B * K, num_hidden, num_layers)
+        vis_k = None
     else:
-        error("beam_decode supports state_bias/input_concat, got [%s]"
-              % visual_mode)
+        error("Undefined rnn visual mode [%s]" % visual_mode)
 
     def cell_forward(x, cs, hs):
         seq_in = x
@@ -312,6 +320,10 @@ def beam_decode(params, out_fc_params, visual, embedding_matrix, bos_index,
 
     cs0 = jnp.stack([s[0] for s in states])   # (L, B*K, H)
     hs0 = jnp.stack([s[1] for s in states])
+    if visual_mode == defs.rnn_visual_mode.input_bias:
+        # pre-roll the visual step: state advances, output discarded
+        x0 = _pad_to(expand(visual), emb.shape[1])
+        _, cs0, hs0 = cell_forward(x0, cs0, hs0)
     word0 = jnp.broadcast_to(emb[bos_index][None, :], (B * K, emb.shape[1]))
     # only beam 0 is live initially (all beams identical otherwise)
     scores0 = jnp.tile(jnp.asarray([0.0] + [NEG] * (K - 1)), (B,))
