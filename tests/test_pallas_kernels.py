@@ -11,21 +11,48 @@ from video_learning_tpu.models.layers import local_response_normalization
 from video_learning_tpu.ops import pallas_kernels as pk
 
 
+def _lrn_sliding_reference(x, r=2, bias=1.0, alpha=2e-5, beta=0.75):
+    """The textbook sliding-window formulation (tf.nn.lrn semantics),
+    kept here as the independent golden for both production paths."""
+    sq = jnp.square(x)
+    sq = jnp.pad(sq, [(0, 0)] * (x.ndim - 1) + [(r, r)])
+    c = x.shape[-1]
+    acc = sq[..., 0:c]
+    for i in range(1, 2 * r + 1):
+        acc = acc + sq[..., i:i + c]
+    return x / jnp.power(bias + alpha * acc, beta)
+
+
 def test_lrn_kernel_matches_reference():
     x = jnp.asarray(np.random.RandomState(0).randn(4, 7, 7, 96),
                     jnp.float32)
-    ref = local_response_normalization(x)
+    ref = _lrn_sliding_reference(x)
     out = pk.lrn(x, block_rows=64, interpret=True)
     assert np.allclose(out, ref, atol=1e-5)
+    # the XLA band-matmul production path against the same golden
+    assert np.allclose(local_response_normalization(x), ref, atol=1e-5)
 
 
 def test_lrn_kernel_ragged_rows():
     # rows not divisible by the block: padding path
     x = jnp.asarray(np.random.RandomState(1).randn(3, 5, 5, 32),
                     jnp.float32)
-    ref = local_response_normalization(x)
+    ref = _lrn_sliding_reference(x)
     out = pk.lrn(x, block_rows=64, interpret=True)
     assert np.allclose(out, ref, atol=1e-5)
+
+
+def test_lrn_custom_vjp_matches_autodiff():
+    """Both production LRN backward passes (the closed-form custom VJPs)
+    against autodiff through the sliding-window formulation."""
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 5, 5, 96),
+                    jnp.float32)
+    g_ref = jax.grad(lambda y: jnp.sum(_lrn_sliding_reference(y)))(x)
+    g_xla = jax.grad(lambda y: jnp.sum(local_response_normalization(y)))(x)
+    g_pal = jax.grad(
+        lambda y: jnp.sum(pk.lrn(y, block_rows=64, interpret=True)))(x)
+    assert np.allclose(g_xla, g_ref, atol=1e-5)
+    assert np.allclose(g_pal, g_ref, atol=1e-5)
 
 
 def test_lstm_step_kernel_matches_cell():

@@ -232,6 +232,56 @@ def test_audio_spectrograms(tmp_path):
     assert img.dtype == np.uint8
 
 
+def test_read_audio_mp3_via_decoder_stub(tmp_path, monkeypatch):
+    """Non-wav input shells out to ffmpeg/avconv; validated with a stub
+    decoder that writes a known wav (the image has no real mp3 codec)."""
+    from video_learning_tpu.audio import spectrograms as sp
+    rate = 8000
+    sig = (np.sin(np.arange(rate) / rate * 2 * np.pi * 220) * 1000) \
+        .astype(np.int16)
+    golden = tmp_path / "golden.wav"
+    with wave.open(str(golden), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    stub = bindir / "ffmpeg"
+    # ffmpeg -y -v error -i <in> -acodec pcm_s16le <out>: copy the golden
+    stub.write_text("#!/bin/sh\ncp %s \"$8\"\n" % golden)
+    stub.chmod(0o755)
+    monkeypatch.setenv("PATH", "%s:%s" % (bindir, os.environ["PATH"]))
+    fake_mp3 = tmp_path / "tone.mp3"
+    fake_mp3.write_bytes(b"\xff\xfbnot-really-mp3")
+    data, r = sp.read_audio(str(fake_mp3))
+    ref, _ = sp.read_wav(str(golden))
+    assert r == rate and np.allclose(data, ref)
+
+
+def test_read_audio_requires_decoder(tmp_path, monkeypatch):
+    from video_learning_tpu.audio import spectrograms as sp
+    from video_learning_tpu.utils import FrameworkError
+    monkeypatch.setenv("PATH", str(tmp_path))  # no ffmpeg/avconv
+    with pytest.raises(FrameworkError, match="ffmpeg"):
+        sp.read_audio(str(tmp_path / "x.mp3"))
+
+
+def test_postproc_folders(tmp_path):
+    from video_learning_tpu.audio import postproc_folders as pp
+    base = tmp_path / "specs"
+    for sub in ("fold_a", "fold_b"):
+        (base / sub).mkdir(parents=True)
+    (base / "fold_a" / "clip1.avi").mkdir()
+    (base / "fold_a" / "clip1.avi" / "f0.png").write_bytes(b"x")
+    (base / "fold_b" / "clip2.avi").mkdir()
+    assert pp.flatten_one_level(str(base)) == 2
+    assert sorted(os.listdir(base)) == ["clip1.avi", "clip2.avi"]
+    assert pp.strip_extension(str(base), ".avi") == 2
+    assert sorted(os.listdir(base)) == ["clip1", "clip2"]
+    assert os.path.exists(base / "clip1" / "f0.png")
+
+
 def test_evaluate_multiple_checkpoints_filter():
     from video_learning_tpu.tools import evaluate_multiple_checkpoints as emc
     ckpts = ["x/170101_ep_1_btch_2_gs_2.ckpt",
@@ -240,6 +290,44 @@ def test_evaluate_multiple_checkpoints_filter():
     assert emc.filter_checkpoints(ckpts, only=[2]) == [ckpts[1]]
     assert emc.filter_checkpoints(ckpts, omit=[2]) == [ckpts[0], ckpts[2]]
     assert emc.checkpoint_epoch(ckpts[2]) == 3
+
+
+def test_export_tfrecord_roundtrip(tmp_path):
+    """VLR -> TFRecord export parses with the REAL TF proto parser and
+    matches the reference serializer's schema for both record kinds."""
+    tf = pytest.importorskip("tensorflow")
+    from tensorflow.core.example import example_pb2
+    from video_learning_tpu.tools.export_tfrecord import convert
+    rng = np.random.RandomState(3)
+    vlr = str(tmp_path / "packed.tfrecord")
+    imgs = [rng.randint(0, 255, (5, 4, 3), np.uint8) for _ in range(2)]
+    vec = rng.randn(8).astype(np.float32)
+    with records.RecordWriter(vlr) as w:
+        for i, img in enumerate(imgs):
+            w.write(records.encode_image_example(img, [i]))
+        w.write(records.encode_vector_example(vec, [7, 9]))
+    out_path, count = convert(vlr)
+    assert count == 3
+    parsed = []
+    for raw in tf.data.TFRecordDataset(out_path).as_numpy_iterator():
+        ex = example_pb2.Example()
+        ex.ParseFromString(raw)
+        parsed.append(ex.features.feature)
+    assert len(parsed) == 3
+    for i, img in enumerate(imgs):
+        f = parsed[i]
+        assert list(f["label"].int64_list.value) == [i]
+        got = np.frombuffer(f["image_raw"].bytes_list.value[0],
+                            np.uint8).reshape(
+            f["height"].int64_list.value[0],
+            f["width"].int64_list.value[0],
+            f["depth"].int64_list.value[0])
+        assert np.array_equal(got, img)
+    f = parsed[2]
+    assert f["dimension"].int64_list.value[0] == 8
+    assert list(f["label"].int64_list.value) == [7, 9]
+    assert np.allclose(
+        np.frombuffer(f["vector_raw"].bytes_list.value[0], np.float32), vec)
 
 
 def test_import_tfrecord(tmp_path):

@@ -2,22 +2,35 @@
 
 Python3 counterpart of /root/reference/audio/DL_generate_specs.py (python2 +
 pyAudioAnalysis): computes a short-time magnitude spectrogram per fixed time
-window of each wav file with a numpy STFT, maps it through a jet colormap to
-uint8 RGB PNGs, one folder per clip — consumable by the packer as "video"
-frames (SURVEY §2.23).
+window of each audio file with a numpy STFT, maps it through a jet colormap
+to uint8 RGB PNGs, one folder per clip — consumable by the packer as
+"video" frames (SURVEY §2.23).
+
+Input formats: wav natively (stdlib); mp3/other compressed formats decode
+through an ``ffmpeg``/``avconv`` subprocess when one is on PATH — the same
+route pyAudioAnalysis' readAudioFile takes for non-wav input
+(/root/reference/audio/DL_generate_specs.py:34-105 accepts every
+``audio_extensions`` member) — with a clear error naming the missing
+dependency otherwise.
 
 Usage:
-  python -m video_learning_tpu.audio.spectrograms <out_dir> <wav>... \\
+  python -m video_learning_tpu.audio.spectrograms <out_dir> <audio>... \\
       [--window-sec 1.0] [--stft-win 0.040] [--stft-step 0.020]
 """
 
 import argparse
 import os
+import shutil
+import subprocess
+import tempfile
 import wave
 
 import numpy as np
 
 from video_learning_tpu.utils import ensure_console_logging, error, info
+
+AUDIO_EXTENSIONS = (".wav", ".mp3", ".aif", ".aiff", ".ogg", ".flac",
+                    ".m4a", ".aac", ".au")
 
 
 def read_wav(path):
@@ -41,6 +54,42 @@ def read_wav(path):
     if channels > 1:
         data = data.reshape(-1, channels).mean(axis=1)
     return data / scale, rate
+
+
+def _decoder_binary():
+    for name in ("ffmpeg", "avconv"):
+        path = shutil.which(name)
+        if path:
+            return path
+    return None
+
+
+def read_audio(path):
+    """Read any supported audio file into mono float samples + rate.
+
+    wav decodes natively; everything else (mp3 first among them) shells
+    out to ffmpeg/avconv to transcode to a temporary 16-bit PCM wav and
+    reads that — pyAudioAnalysis did the same under the reference."""
+    if path.lower().endswith(".wav"):
+        return read_wav(path)
+    decoder = _decoder_binary()
+    if decoder is None:
+        error("Decoding [%s] requires ffmpeg or avconv on PATH "
+              "(only .wav decodes natively)" % path)
+    tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+    tmp.close()
+    try:
+        proc = subprocess.run(
+            [decoder, "-y", "-v", "error", "-i", path,
+             "-acodec", "pcm_s16le", tmp.name],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        if proc.returncode != 0:
+            error("%s failed on [%s]: %s"
+                  % (os.path.basename(decoder), path,
+                     proc.stderr.decode("utf-8", "replace").strip()[:500]))
+        return read_wav(tmp.name)
+    finally:
+        os.unlink(tmp.name)
 
 
 def stft_magnitude(signal, rate, win_sec, step_sec):
@@ -69,9 +118,9 @@ def jet_colormap(norm):
 
 def generate_spectrogram_frames(wav_path, out_dir, window_sec=1.0,
                                 stft_win=0.040, stft_step=0.020):
-    """One folder of per-window spectrogram PNGs per wav file."""
+    """One folder of per-window spectrogram PNGs per audio file."""
     from PIL import Image
-    signal, rate = read_wav(wav_path)
+    signal, rate = read_audio(wav_path)
     name = os.path.splitext(os.path.basename(wav_path))[0]
     target = os.path.join(out_dir, name)
     os.makedirs(target, exist_ok=True)

@@ -7,6 +7,8 @@ tf_util.py:32-60; truncated normal (0.0, 0.1) / zero bias for conv helpers
 compute dtype with float32 accumulation (preferred_element_type).
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,6 +92,51 @@ def max_pool(x, window, strides, padding):
 
 
 # --------------------------------------------------------------------- LRN
+def _lrn_band_apply(v, band):
+    # Accumulate in the activation dtype: with alpha=2e-5 the window sum
+    # perturbs the denominator (~= bias) at most O(alpha * acc), so bf16
+    # accumulation changes the output by < 1e-3 relative — below the bf16
+    # output quantization itself — and halves the matmul's HBM write
+    # traffic (measured 1.6x faster fwd at the AlexNet conv1 site).
+    c = v.shape[-1]
+    acc = jax.lax.dot_general(
+        v.reshape(-1, c), band, (((1,), (0,)), ((), ())),
+        preferred_element_type=v.dtype)
+    return acc.reshape(v.shape).astype(jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _lrn_xla(x, depth_radius, bias, alpha, beta):
+    return _lrn_xla_fwd(x, depth_radius, bias, alpha, beta)[0]
+
+
+def _lrn_xla_fwd(x, depth_radius, bias, alpha, beta):
+    from video_learning_tpu.ops.pallas_kernels import (_pow_neg_beta,
+                                                       band_matrix)
+    band = band_matrix(x.shape[-1], depth_radius, x.dtype)
+    d = bias + alpha * _lrn_band_apply(jnp.square(x), band)
+    p = _pow_neg_beta(d, beta)
+    return x * p.astype(x.dtype), (x, d, p)
+
+
+def _lrn_xla_bwd(depth_radius, bias, alpha, beta, res, g):
+    # dL/dx_k = g_k p_k - 2*alpha*beta * x_k * sum_{|i-k|<=r} g_i x_i
+    #           * d_i**(-beta-1); the band matrix is symmetric so the
+    #           window sum is the same matmul as the forward's.
+    from video_learning_tpu.ops.pallas_kernels import band_matrix
+    x, d, p = res
+    band = band_matrix(x.shape[-1], depth_radius, x.dtype)
+    gf = g.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    inner = (gf * xf * (p / d)).astype(x.dtype)
+    s = _lrn_band_apply(inner, band)
+    dx = gf * p - (2.0 * alpha * beta) * xf * s
+    return (dx.astype(x.dtype),)
+
+
+_lrn_xla.defvjp(_lrn_xla_fwd, _lrn_xla_bwd)
+
+
 def local_response_normalization(x, depth_radius=2, bias=1.0, alpha=2e-5,
                                  beta=0.75):
     """AlexNet local response normalization over channels, matching
@@ -97,21 +144,20 @@ def local_response_normalization(x, depth_radius=2, bias=1.0, alpha=2e-5,
     (reference models/alexnet/alexnet.py:85-89):
       out = x / (bias + alpha * sum_{d-r..d+r} x_d^2) ** beta.
 
-    Implemented as a channel-padded sliding sum — (2r+1) adds the compiler
-    fuses with the surrounding elementwise ops; channel counts here are
-    small (96/256) so this is VPU-bound and cheap.  With VLT_USE_PALLAS=1
-    on TPU the fused Pallas kernel (ops/pallas_kernels.lrn) is used."""
+    The channel-window sum of squares is a banded-matrix matmul — MXU
+    work instead of the lane-rotation channel shifts a sliding-slice
+    formulation lowers to on TPU (measured at the AlexNet conv1 site,
+    2048 bf16 55x55x96 frames on v5e: fwd 11.6 vs 26.3 ms, fwd+bwd 17.8
+    vs 55.2 ms = 3.1x; BASELINE.md has the ladder).  A custom VJP keeps
+    the backward to one more band matmul plus elementwise.  This XLA
+    formulation is the default; ``VLT_USE_PALLAS=1`` selects the fused
+    Pallas kernel (ops/pallas_kernels.lrn), which measured slower here
+    because the pallas_call boundary blocks fusion with the neighboring
+    conv (see its module docstring)."""
     from video_learning_tpu.ops import pallas_kernels
     if pallas_kernels.enabled():
         return pallas_kernels.lrn(x, depth_radius, bias, alpha, beta)
-    sq = jnp.square(x)
-    pad = [(0, 0)] * (x.ndim - 1) + [(depth_radius, depth_radius)]
-    sq = jnp.pad(sq, pad)
-    c = x.shape[-1]
-    acc = sq[..., 0:c]
-    for i in range(1, 2 * depth_radius + 1):
-        acc = acc + sq[..., i:i + c]
-    return x / jnp.power(bias + alpha * acc, beta)
+    return _lrn_xla(x, depth_radius, bias, alpha, beta)
 
 
 # ----------------------------------------------------------------- dropout

@@ -11,7 +11,6 @@ Usage:
 
 import argparse
 import os
-import pickle
 import re
 import shutil
 
@@ -53,7 +52,9 @@ def modify(in_path, out_path, deletes=(), renames=(), regex_renames=(),
         info("Created [%s] with shape %s" % (name, shape))
     tmp = out_path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(flat, f, protocol=4)
+        # data-only npz, same container save_checkpoint writes (pickle
+        # checkpoints are a read-only legacy format here)
+        np.savez(f, **{k: np.asarray(v) for k, v in flat.items()})
     os.replace(tmp, out_path)
     # carry the training-position sidecar along (reference :95-100)
     snap = in_path + ".snap"
