@@ -1,0 +1,165 @@
+"""Prepare a self-contained image-captioning example.
+
+The reference's imgdesc workflow shape (SURVEY §2.25 frames_imgdesc:
+``path vocab-index...`` label lines, a ``.vocab`` file with UNK/EOS/BOS,
+GloVe-style ``.embeddings``, and a COCO-format ground-truth json for
+evaluation) on synthesized images: each image's caption describes its
+dominant color/texture class, so overfitting the tiny set to a high
+BLEU/CIDEr validates the full caption chain — conditioning, teacher-forced
+training, greedy feedback decode, id recovery, and the coco metrics.
+
+The optimizer settings are load-bearing: the encoder must train at a far
+lower rate than the caption head (two-tier LR, the reference's
+fine-tuning scheme).  With a single-tier Adam rate the from-scratch
+encoder's activations inflate (Adam's normalized steps keep moving
+gradient-starved conv weights), the state_bias conditioning saturates
+tanh identically for every image, and decode collapses to one caption —
+teacher-forced loss keeps falling the whole time, so only the decoded
+strings reveal it.
+
+Usage: python prepare_captioning.py <workdir>
+Then:  bash run_captioning.sh <workdir>
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import yaml
+from PIL import Image
+
+WORDS = ["a", "red", "green", "blue", "dog", "cat", "bird", "runs",
+         "sits", "flies"]
+VOCAB = WORDS + ["UNK", "EOS", "BOS"]
+CAPTIONS = {  # image id -> caption as WORDS indexes
+    1: [0, 1, 4, 7],    # a red dog runs
+    2: [0, 2, 5, 8],    # a green cat sits
+    3: [0, 3, 6, 9],    # a blue bird flies
+    4: [0, 1, 5, 8],    # a red cat sits
+    5: [0, 2, 6, 9],    # a green bird flies
+    6: [0, 3, 4, 7],    # a blue dog runs
+}
+RAW, CROP = 112, 96
+EPOCHS = 200
+
+
+def synthesize(root):
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    lines = []
+    for iid, lab in CAPTIONS.items():
+        # dominant color from the color word, texture from the animal
+        color = {1: (200, 40, 40), 2: (40, 200, 40),
+                 3: (40, 40, 200)}[lab[1]]
+        base = np.tile(np.asarray(color, np.float32), (RAW, RAW, 1))
+        noise = rng.randn(RAW, RAW, 3) * (10 + 15 * (lab[2] - 4))
+        img = np.clip(base + noise, 0, 255).astype(np.uint8)
+        p = os.path.join(img_dir, "img_%04d.jpg" % iid)
+        Image.fromarray(img).save(p, quality=95)
+        lines.append("%s %s" % (p, " ".join(map(str, lab))))
+    paths_file = os.path.join(root, "caps.train")
+    with open(paths_file, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    with open(os.path.join(root, "v.vocab"), "w") as fh:
+        fh.write("\n".join(VOCAB) + "\n")
+    emb = ["%s\t%s" % (w, " ".join("%.5f" % x for x in rng.randn(16)))
+           for w in VOCAB]
+    with open(os.path.join(root, "v.vocab.embeddings"), "w") as fh:
+        fh.write("\n".join(emb) + "\n")
+
+    gt = {"images": [{"id": i, "file_name": "img_%04d.jpg" % i}
+                     for i in CAPTIONS],
+          "annotations": [{"image_id": i,
+                           "caption": " ".join(WORDS[k] for k in lab)}
+                          for i, lab in CAPTIONS.items()]}
+    with open(os.path.join(root, "gt.json"), "w") as fh:
+        json.dump(gt, fh)
+    return paths_file
+
+
+def write_configs(root, paths_file):
+    pack = {"serialize": {
+        "output_folder": None, "path_prepend_folder": None,
+        "input_files": [paths_file], "run_id": "cap_example",
+        "num_threads": 2, "num_items_per_thread": 6,
+        "raw_image_shape": "(%d, %d, 3)" % (RAW, RAW),
+        "clip_offset_or_num": 1, "num_frames_per_clip": 1,
+        "clipframe_mode": "defs.clipframe_mode.iterative",
+        "generation_error": "defs.generation_error.compromise",
+        "do_shuffle": False, "do_serialize": True, "do_validate": True,
+        "validate_pcnt": 100, "frame_format": "jpg",
+        "logging_level": "logging.INFO", "seed": 1}}
+    run_cfg = {"run": {
+        "resume_file": None,
+        "run_folder": os.path.join(root, "run"),
+        "run_id": "cap_example",
+        "seed": 5,
+        "mesh_shape": {"data": 1},
+        "compute_dtype": "float32",
+        "phase": "defs.phase.train",
+        "data": {"caps": {
+            "data_path": paths_file,
+            "raw_image_shape": "(%d, %d, 3)" % (RAW, RAW),
+            "image_shape": "(%d, %d, 3)" % (CROP, CROP),
+            "mean_image": [99.2, 105.3, 109.5],
+            "data_format": "defs.data_format.tfrecord",
+            "frame_format": "jpg",
+            "imgproc": ["defs.imgproc.center_crop",
+                        "defs.imgproc.sub_mean"],
+            "batch_item": "defs.batch_item.default",
+            "phase": "defs.phase.train",
+            "tag": "defs.dataset_tag.main"}},
+        "network": {
+            "num_classes": len(VOCAB),
+            "pipelines": [
+                {"enc": {"input": "defs.dataset_tag.main",
+                         "representation": "defs.representation.dcnn",
+                         "frame_encoding_layer": "fc6"}},
+                {"capt": {"input": "enc",
+                          "representation": "defs.representation.nop",
+                          "classifier": "defs.classifier.lstm",
+                          "lstm_params": [32, 1,
+                                          "defs.fusion_method.avg"]}}]},
+        "train": {"batch_size": 3, "epochs": EPOCHS,
+                  "optimizer": "defs.optim.adam", "base_lr": 0.0003,
+                  "lr_mult": 30.0, "lr_decay": None, "clip_norm": 5,
+                  "dropout_keep_prob": 0.9},
+        "val": {"batch_size": 3, "logits_save_interval": -1,
+                "clip_fusion": ["defs.fusion_type.late",
+                                "defs.fusion_method.avg"]},
+        "captioning": {
+            "caption_search": "defs.caption_search.max",
+            "eval_type": "defs.eval_type.coco",
+            "caption_ground_truth": os.path.join(root, "gt.json"),
+            "word_embeddings_file": os.path.join(root,
+                                                 "v.vocab.embeddings")},
+        "logging": {"save_freq_per_epoch": 0.1, "level": "logging.INFO",
+                    "print_tensors": False, "tensorboard_folder": "tb",
+                    "email_notify": None},
+    }}
+    with open(os.path.join(root, "serialize.yml"), "w") as f:
+        yaml.safe_dump(pack, f)
+    with open(os.path.join(root, "train.yml"), "w") as f:
+        yaml.safe_dump(run_cfg, f)
+    run_cfg["run"]["phase"] = "defs.phase.val"
+    run_cfg["run"]["resume_file"] = "latest"
+    run_cfg["run"]["data"]["caps"]["phase"] = "defs.phase.val"
+    with open(os.path.join(root, "val.yml"), "w") as f:
+        yaml.safe_dump(run_cfg, f)
+
+
+def main():
+    root = os.path.abspath(sys.argv[1] if len(sys.argv) > 1
+                           else "captioning_example")
+    os.makedirs(root, exist_ok=True)
+    paths_file = synthesize(root)
+    write_configs(root, paths_file)
+    print("Prepared captioning example under %s" % root)
+    print("Next: bash run_captioning.sh %s" % root)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""The shipped examples' prepare stages and the real-media decode path.
+
+The real-media example (examples/real_media) is the only place the
+pipeline meets actual photographic JPEG frames (the reference bundles a
+UCF101 subset for the same purpose, /root/reference/examples/data/videos/
+readme.txt:1); this test packs those real frames and decodes a batch
+through the Dataset reader.  The full convergence runs are recorded in
+BASELINE.md (accuracy/caption anchors) and exercised by the run_*.sh
+drivers, which are too slow for the suite.
+"""
+
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+UCF_ZIP = "/root/reference/examples/data/videos/videos.zip"
+
+
+def _run_script(relpath, argv):
+    old = sys.argv
+    sys.argv = [relpath] + argv
+    try:
+        runpy.run_path(os.path.join(REPO, relpath), run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+@pytest.mark.skipif(not os.path.exists(UCF_ZIP),
+                    reason="UCF101 subset media not available")
+def test_real_media_pack_and_decode(tmp_path):
+    work = str(tmp_path / "rm")
+    _run_script("examples/real_media/prepare_real_media.py",
+                [work, "--media", UCF_ZIP])
+    # labels: one line per frame folder, UCF action-name classes
+    lines = open(os.path.join(work, "videos.train")).read().splitlines()
+    assert len(lines) == 2
+    labels = sorted(int(l.rsplit(" ", 1)[1]) for l in lines)
+    assert labels == [0, 1]
+
+    from video_learning_tpu.data import serialize as ser
+    ser.main(["serialize", os.path.join(work, "serialize.yml")])
+    packed = lines[0].rsplit("/", 2)[0]  # workdir/videos
+    base = os.path.join(work, "videos.train")
+    assert os.path.exists(base + ".tfrecord")
+
+    # decode a real batch through the runtime reader
+    from video_learning_tpu.data.dataset import Dataset
+    from video_learning_tpu.defs import defs
+    d = Dataset()
+    d.initialize("ucf", base, [104.0, 117.0, 123.0], None,
+                 (227, 227, 3),
+                 [defs.imgproc.center_crop, defs.imgproc.sub_mean],
+                 (240, 320, 3), defs.data_format.tfrecord, "jpg",
+                 defs.batch_item.default, 2, defs.dataset_tag.main, 1)
+    d.calculate_batches(2, defs.input_mode.video)
+    batch = d.get_next_batch()
+    frames = np.asarray(batch.visual)
+    # 2 videos x 2 cpv x 4 fpc of real 227-crops, mean-subtracted float
+    assert frames.shape == (2 * 2 * 4, 227, 227, 3)
+    # photographic content, not noise: nontrivial dynamic range and
+    # spatial structure (neighboring-pixel correlation)
+    assert frames.std() > 10.0
+    a = frames[0, :, :-1, 0] - frames[0, :, 1:, 0]
+    assert np.abs(a).mean() < frames[0].std()  # smooth locally
+
+
+def test_captioning_example_prepare(tmp_path):
+    work = str(tmp_path / "cap")
+    _run_script("examples/captioning/prepare_captioning.py", [work])
+    for f in ("caps.train", "v.vocab", "v.vocab.embeddings", "gt.json",
+              "serialize.yml", "train.yml", "val.yml"):
+        assert os.path.exists(os.path.join(work, f)), f
+    vocab = open(os.path.join(work, "v.vocab")).read().split()
+    assert vocab[-3:] == ["UNK", "EOS", "BOS"]
