@@ -49,21 +49,58 @@ def build(batch_clips, fpc, raw_hw, crop, num_classes, compute_dtype):
     return settings, model, engine
 
 
-def _probe_accelerator(deadline=240):
+def _probe_accelerator(deadline=240, attempts=6, retry_wait=180):
     """Run a tiny compile+execute in a subprocess with a hard deadline.
     The tunnelled TPU in this environment sometimes hangs inside RPCs
     (uninterruptible by signals); probing out-of-process is the only safe
-    health check before committing the benchmark to the device."""
+    health check before committing the benchmark to the device.  Stall
+    windows observed here last tens of minutes, so on failure the probe
+    retries for up to ~40 min total before giving up — a transient
+    outage should delay the benchmark, not silently reroute it."""
     import subprocess
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((256, 256));"
             "print(float((x @ x).sum()))")
-    try:
-        ret = subprocess.run([sys.executable, "-c", code],
-                             timeout=deadline, capture_output=True)
-        return ret.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            ret = subprocess.run([sys.executable, "-c", code],
+                                 timeout=deadline, capture_output=True)
+            if ret.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < attempts - 1:
+            sys.stderr.write(
+                "accelerator probe %d/%d failed; retrying in %ds\n"
+                % (attempt + 1, attempts, retry_wait))
+            time.sleep(retry_wait)
+    return False
+
+
+def _start_stall_watchdog(limit_sec=1200):
+    """Abort (exit 3) if the benchmark makes no progress for limit_sec —
+    a mid-run tunnel stall blocks uninterruptibly inside an RPC, and a
+    hung bench is worse for the harness than a failed one.  Returns a
+    zero-arg heartbeat callable; every timed milestone should call it."""
+    import os
+    import threading
+    last = [time.time()]
+
+    def beat():
+        last[0] = time.time()
+
+    def watch():
+        while True:
+            time.sleep(30)
+            if time.time() - last[0] > limit_sec:
+                sys.stderr.write(
+                    "benchmark stalled >%ds (tunnelled TPU hang); "
+                    "aborting\n" % limit_sec)
+                os._exit(3)
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    return beat
 
 
 def _ensure_e2e_dataset(workdir, n_videos, fpc, raw_hw, num_classes):
@@ -258,9 +295,10 @@ def main():
         return run_e2e(args)
 
     force_cpu = args.cpu
+    cpu_fallback = False
     if not force_cpu and not _probe_accelerator():
         sys.stderr.write("Accelerator unresponsive; benchmarking on CPU\n")
-        force_cpu = True
+        force_cpu = cpu_fallback = True
     import jax
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -305,11 +343,14 @@ def main():
     # warm up twice: the first call compiles; a second guards against a
     # one-time recompile if output shardings differ from the initial
     # placement
+    beat = _start_stall_watchdog()
     p, o, m = many(engine.params, engine.opt_state, feed_dev,
                    jnp.asarray(0), rng_key)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"][-1])   # real sync (block_until_ready is a no-op
+    beat()                     # through the axon relay — BASELINE.md)
     p, o, m = many(p, o, feed_dev, jnp.asarray(0), rng_key)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"][-1])
+    beat()
     # median over repeated timed scans: the tunnelled TPU occasionally
     # stalls mid-dispatch (one round-1 driver run measured 3.4x slower
     # than steady state), and a single timing sample cannot tell a real
@@ -322,6 +363,7 @@ def main():
                        rng_key)
         loss_last = float(m["loss"][-1])  # forces full sync (tunnel-safe)
         times.append(time.time() - tic)
+        beat()
         assert np.isfinite(loss_last)
     dt = float(np.median(times))
     if reps > 1:
@@ -330,8 +372,13 @@ def main():
             % (steps, ["%.3f" % t for t in times], dt))
 
     clips_per_sec = batch_clips * steps / dt
+    metric = "train_clips_per_sec_per_chip_lstm_acrec_fpc%d" % fpc
+    if cpu_fallback:
+        # make an accelerator outage legible in the recorded metric
+        # instead of masquerading as a 4000x regression
+        metric += "_CPUFALLBACK_tpu_unreachable"
     result = {
-        "metric": "train_clips_per_sec_per_chip_lstm_acrec_fpc%d" % fpc,
+        "metric": metric,
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / CPU_BASELINE_CLIPS_PER_SEC, 2),

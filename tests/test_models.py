@@ -225,3 +225,40 @@ def test_replicate_auxiliary():
     out = fusion.replicate_auxiliary_tensor(aux, 2, 4, 2)
     assert out.shape == (4, 2)
     assert np.allclose(out[:2], aux) and np.allclose(out[2:], aux)
+
+
+def test_conv1_space_to_depth_matches_direct():
+    """The space-to-depth conv1 lowering must be numerically identical to
+    the direct 11x11-stride-4 SAME conv (same params, fwd and grad), at
+    the canonical 227 and at an odd non-227 size."""
+    import jax
+    import jax.numpy as jnp
+    from video_learning_tpu.models import alexnet
+    from video_learning_tpu.models.layers import conv_apply
+
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(11, 11, 3, 96) * 0.05,
+                               jnp.float32),
+              "b": jnp.asarray(rng.randn(96) * 0.1, jnp.float32)}
+    for hw in (227, 113):
+        x = jnp.asarray(rng.randn(2, hw, hw, 3), jnp.float32)
+        direct = conv_apply(params, x, (4, 4), "SAME", groups=1,
+                            relu=True)
+        s2d = alexnet._conv1_space_to_depth(params, x, None)
+        assert s2d.shape == direct.shape, (s2d.shape, direct.shape)
+        assert np.allclose(s2d, direct, atol=1e-4), \
+            np.abs(np.asarray(s2d) - np.asarray(direct)).max()
+
+        def loss_direct(p):
+            return jnp.sum(conv_apply(p, x, (4, 4), "SAME", groups=1,
+                                      relu=True) ** 2)
+
+        def loss_s2d(p):
+            return jnp.sum(alexnet._conv1_space_to_depth(p, x, None) ** 2)
+
+        gd = jax.grad(loss_direct)(params)
+        gs = jax.grad(loss_s2d)(params)
+        assert np.allclose(gd["w"], gs["w"], atol=1e-2 * float(
+            np.abs(gd["w"]).max()))
+        assert np.allclose(gd["b"], gs["b"], atol=1e-2 * float(
+            np.abs(gd["b"]).max()))

@@ -107,6 +107,61 @@ def param_groups(params, prefix=""):
     return regular, modified
 
 
+def _conv1_space_to_depth(params, x, compute_dtype):
+    """conv1 as a space-to-depth conv: numerically identical to the direct
+    11x11-stride-4 SAME conv, restructured for the MXU.
+
+    With C_in=3 the direct conv keeps at most 3 of the MXU's input lanes
+    busy (the contraction is over 11*11*3=363 elements of which the
+    hardware pads channels up); because conv1's stride (4) can serve as a
+    space-to-depth block size, each output position reads whole 4x4 pixel
+    blocks, so the input rearranges to (H/4, W/4, 48) and the kernel to a
+    dense 3x3x48 (the 12th padded tap row/col is zero) with stride 1 —
+    the standard TPU treatment of low-channel stem convs.  The weight
+    transform runs inside the graph on the original (11,11,3,96) layout,
+    so checkpoints, the bvlc npy import, and autodiff are unaffected.
+    Measured on v5e: whole-workload parity with the direct conv (the XLA
+    TPU backend already performs an equivalent restructuring), so this
+    stays opt-in via VLT_CONV1_S2D=1.
+    Valid for any input H,W (SAME pad keeps outputs block-aligned since
+    output o always starts at padded row 4*o)."""
+    w, b = params["w"], params["b"]  # (11, 11, 3, 96)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    n, h, wd, c = x.shape
+    out_h, out_w = -(-h // 4), -(-wd // 4)      # ceil (SAME, stride 4)
+    pad_h = max((out_h - 1) * 4 + 11 - h, 0)
+    pad_w = max((out_w - 1) * 4 + 11 - wd, 0)
+    plh, plw = pad_h // 2, pad_w // 2
+    # extend hi padding so the padded extent is a whole number of blocks
+    ph = plh + h + pad_h - pad_h // 2
+    pw = plw + wd + pad_w - pad_w // 2
+    eh, ew = (-ph) % 4, (-pw) % 4
+    x = jnp.pad(x, ((0, 0), (plh, pad_h - plh + eh),
+                    (plw, pad_w - plw + ew), (0, 0)))
+    bh, bw = x.shape[1] // 4, x.shape[2] // 4
+    x = x.reshape(n, bh, 4, bw, 4, c).transpose(0, 1, 3, 2, 4, 5) \
+         .reshape(n, bh, bw, 16 * c)
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))   # 12x12 taps
+    wp = wp.reshape(3, 4, 3, 4, c, w.shape[-1]) \
+           .transpose(0, 2, 1, 3, 4, 5).reshape(3, 3, 16 * c, w.shape[-1])
+    y = jax.lax.conv_general_dilated(
+        x, wp, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y[:, :out_h, :out_w, :] + b.astype(y.dtype)
+    return jax.nn.relu(y)
+
+
+# Off by default: the whole-workload A/B measured parity (1043 vs 1046
+# clips/s on v5e, BASELINE.md) — XLA:TPU already restructures low-channel
+# stem convs internally, so the manual rearrange buys nothing here.  Kept
+# as a tested, exactly-equivalent alternative lowering
+# (tests/test_models.py::test_conv1_space_to_depth_matches_direct) for
+# backends where the compiler does not.
+_CONV1_S2D = os.environ.get("VLT_CONV1_S2D", "0") == "1"
+
+
 def apply(params, x, final_layer="prob", compute_dtype=None):
     """Forward pass.  x: (N, H, W, 3) float32 (BGR, preprocessed).
     Returns the encoding at ``final_layer`` (fc6/fc7) or fc8 logits."""
@@ -119,7 +174,17 @@ def apply(params, x, final_layer="prob", compute_dtype=None):
                           groups=groups, relu=True,
                           compute_dtype=compute_dtype)
 
-    x = conv("conv1", x)
+    conv1_params = params["conv1"]
+    if os.environ.get("VLT_FREEZE_CONV1") == "1":
+        # ablation-measurement knob (not a training feature — use two-tier
+        # LR for real freeze-style fine-tuning): drops conv1's dL/dw from
+        # the backward pass to quantify its share of the step
+        conv1_params = jax.lax.stop_gradient(conv1_params)
+    if _CONV1_S2D:
+        x = _conv1_space_to_depth(conv1_params, x, compute_dtype)
+    else:
+        x = conv_apply(conv1_params, x, (4, 4), "SAME", groups=1,
+                       relu=True, compute_dtype=compute_dtype)
     x = local_response_normalization(x)
     x = max_pool(x, (3, 3), (2, 2), "VALID")
     x = conv("conv2", x)
