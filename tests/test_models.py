@@ -262,3 +262,39 @@ def test_conv1_space_to_depth_matches_direct():
             np.abs(gd["w"]).max()))
         assert np.allclose(gd["b"], gs["b"], atol=1e-2 * float(
             np.abs(gd["b"]).max()))
+
+
+def test_conv1_pallas_dw_path_matches_direct():
+    """The custom-VJP conv1 (XLA fwd + Pallas dL/dw) must match the plain
+    conv_apply path in both output and parameter gradients."""
+    import jax
+    import jax.numpy as jnp
+    from video_learning_tpu.models import alexnet
+    from video_learning_tpu.models.layers import conv_apply
+
+    rng = np.random.RandomState(1)
+    params = {"w": jnp.asarray(rng.randn(11, 11, 3, 96) * 0.05,
+                               jnp.float32),
+              "b": jnp.asarray(rng.randn(96) * 0.1, jnp.float32)}
+    x = jnp.asarray(rng.randn(2, 67, 67, 3), jnp.float32)
+
+    direct = conv_apply(params, x, (4, 4), "SAME", groups=1, relu=True)
+    fused = alexnet._conv1_pallas_dw(params, x, None)
+    assert np.allclose(fused, direct, atol=1e-4)
+
+    def loss_direct(p, xx):
+        return jnp.sum(conv_apply(p, xx, (4, 4), "SAME", groups=1,
+                                  relu=True) ** 2)
+
+    def loss_fused(p, xx):
+        return jnp.sum(alexnet._conv1_pallas_dw(p, xx, None) ** 2)
+
+    gd = jax.grad(loss_direct)(params, x)
+    gf = jax.grad(loss_fused)(params, x)
+    for k in ("w", "b"):
+        scale = float(np.abs(gd[k]).max())
+        assert np.allclose(gd[k], gf[k], atol=1e-3 * scale), k
+    # input grads too (the XLA-VJP branch of the custom rule)
+    gxd = jax.grad(loss_direct, argnums=1)(params, x)
+    gxf = jax.grad(loss_fused, argnums=1)(params, x)
+    assert np.allclose(gxd, gxf, atol=1e-3 * float(np.abs(gxd).max()))

@@ -77,3 +77,24 @@ def test_enable_flag_respects_platform():
         assert pk.enabled() is False
     finally:
         pk.set_enabled(False)
+
+
+def test_conv1_dw_kernel_matches_autodiff():
+    """The Pallas stem-conv weight-grad kernel against autodiff through
+    the direct 11x11-stride-4 SAME conv."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 39, 43, 3), jnp.float32)
+    w = jnp.asarray(rng.randn(11, 11, 3, 96) * 0.05, jnp.float32)
+    gout_shape = (3, -(-39 // 4), -(-43 // 4), 96)
+    gout = jnp.asarray(rng.randn(*gout_shape), jnp.float32)
+
+    def conv(w):
+        return jax.lax.conv_general_dilated(
+            x, w, (4, 4), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ref = jax.grad(lambda w: jnp.sum(conv(w) * gout))(w)
+    got = pk.conv1_dw(x, gout, block_images=2, interpret=True)
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=1e-3 * float(np.abs(ref).max())), \
+        np.abs(np.asarray(got) - np.asarray(ref)).max()

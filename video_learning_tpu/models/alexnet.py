@@ -160,6 +160,52 @@ def _conv1_space_to_depth(params, x, compute_dtype):
 # (tests/test_models.py::test_conv1_space_to_depth_matches_direct) for
 # backends where the compiler does not.
 _CONV1_S2D = os.environ.get("VLT_CONV1_S2D", "0") == "1"
+# conv1 with the Pallas weight-grad kernel (measurement gate)
+_CONV1_PALLAS_DW = os.environ.get("VLT_CONV1_PALLAS_DW", "0") == "1"
+
+
+@jax.custom_vjp
+def _conv1_direct(w, b, x):
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(4, 4), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jax.nn.relu(y + b.astype(y.dtype))
+
+
+def _conv1_direct_fwd(w, b, x):
+    out = _conv1_direct(w, b, x)
+    return out, (w, x, out)
+
+
+def _conv1_direct_bwd(res, g):
+    """XLA forward, Pallas dL/dw (ops/pallas_kernels.conv1_dw — the
+    skinny stem-conv weight contraction is the per-layer ablation's top
+    cost under XLA's lowering), XLA dL/dx (dead-code-eliminated in
+    training, where the input is data)."""
+    from video_learning_tpu.ops.pallas_kernels import conv1_dw, on_tpu
+    w, x, out = res
+    g = g * (out > 0).astype(g.dtype)          # relu
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
+    dw = conv1_dw(x, g, interpret=not on_tpu()).astype(w.dtype)
+    # exact input-grad via the conv's own VJP; in training the input is
+    # data, so XLA dead-code-eliminates this entirely
+    _, in_vjp = jax.vjp(
+        lambda xx: jax.lax.conv_general_dilated(
+            xx, w, window_strides=(4, 4), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), x)
+    dx, = in_vjp(g)
+    return dw, db, dx.astype(x.dtype)
+
+
+_conv1_direct.defvjp(_conv1_direct_fwd, _conv1_direct_bwd)
+
+
+def _conv1_pallas_dw(params, x, compute_dtype):
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    return _conv1_direct(w, b, x)
 
 
 def apply(params, x, final_layer="prob", compute_dtype=None):
@@ -182,6 +228,8 @@ def apply(params, x, final_layer="prob", compute_dtype=None):
         conv1_params = jax.lax.stop_gradient(conv1_params)
     if _CONV1_S2D:
         x = _conv1_space_to_depth(conv1_params, x, compute_dtype)
+    elif _CONV1_PALLAS_DW:
+        x = _conv1_pallas_dw(conv1_params, x, compute_dtype)
     else:
         x = conv_apply(conv1_params, x, (4, 4), "SAME", groups=1,
                        relu=True, compute_dtype=compute_dtype)

@@ -53,13 +53,19 @@ def set_enabled(value):
     _ENABLED = bool(value)
 
 
+def on_tpu():
+    """True when the default backend compiles for TPU hardware (the
+    tunnelled 'axon' platform in this image is TPU-backed)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def enabled():
     if not _ENABLED:
         return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return on_tpu()
 
 
 # ---------------------------------------------------------------------- LRN
@@ -212,3 +218,103 @@ def lstm_step(xproj, h, c, wh, b, interpret=False):
       c.astype(jnp.float32), wh.astype(jnp.float32),
       b.reshape(1, -1).astype(jnp.float32))
     return h_out, c_out
+
+
+# ------------------------------------------------------ conv1 weight grad
+# The AlexNet stem conv's dL/dw is the per-layer ablation's single
+# largest cost (BASELINE.md: conv1 fwd+dL/dw 49.6 ms of the 140 ms stack
+# at 2048 frames): as XLA lowers it, the (11*11*3, positions) x
+# (positions, 96) contraction is skinny on both non-contracted dims and
+# runs far below the MXU's matmul bound.  This kernel computes the same
+# gradient in the space-to-depth domain (block 4 = the stride, so the
+# kernel becomes 3x3 taps over 48 channels — see
+# models/alexnet._conv1_space_to_depth): per grid step it holds a block
+# of images' rearranged pixels and output-grads in VMEM and accumulates
+# nine (48, K) x (K, 96) tap-contractions into a resident (432, 96) f32
+# accumulator, reading each operand from HBM exactly once.
+
+_C1_TAPS = 3          # ceil(11 / 4) s2d taps per axis
+_C1_BLK = 4           # s2d block = conv stride
+
+
+def _conv1_dw_kernel(xp_ref, g_ref, out_ref, *, out_hw, cin_s2d, cout):
+    oh, ow = out_hw
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xp = xp_ref[:]          # (B, oh + 2, ow + 2, 48)
+    g = g_ref[:]            # (B, oh, ow, 96)
+    b = g.shape[0]
+    gmat = g.reshape(b * oh * ow, cout)
+    for ky in range(_C1_TAPS):
+        for kx in range(_C1_TAPS):
+            patch = xp[:, ky:ky + oh, kx:kx + ow, :] \
+                .reshape(b * oh * ow, cin_s2d)
+            acc = jax.lax.dot_general(
+                patch, gmat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (48, 96)
+            row = (ky * _C1_TAPS + kx) * cin_s2d
+            out_ref[row:row + cin_s2d, :] += acc
+
+
+def conv1_dw(x, gout, block_images=8, interpret=False):
+    """dL/dw for the 11x11-stride-4 SAME stem conv, via Pallas.
+
+    x: (N, H, W, 3) input frames (any dtype; contraction runs in the
+    input dtype with f32 accumulation); gout: (N, OH, OW, 96) the
+    gradient w.r.t. the conv output (pre-bias).  Returns (11, 11, 3, 96)
+    float32 — identical to the autodiff gradient of the direct conv
+    (tests/test_pallas_kernels.py)."""
+    n, h, w, c = x.shape
+    oh, ow = gout.shape[1], gout.shape[2]
+    cout = gout.shape[-1]
+    # SAME padding for k=11 s4, then extend to whole 4x4 blocks (the
+    # same geometry as models/alexnet._conv1_space_to_depth)
+    pad_h = max((oh - 1) * _C1_BLK + 11 - h, 0)
+    pad_w = max((ow - 1) * _C1_BLK + 11 - w, 0)
+    plh, plw = pad_h // 2, pad_w // 2
+    eh = (-(h + pad_h)) % _C1_BLK
+    ew = (-(w + pad_w)) % _C1_BLK
+    xp = jnp.pad(x, ((0, 0), (plh, pad_h - plh + eh),
+                     (plw, pad_w - plw + ew), (0, 0)))
+    bh, bw = xp.shape[1] // _C1_BLK, xp.shape[2] // _C1_BLK
+    cin_s2d = _C1_BLK * _C1_BLK * c
+    xp = xp.reshape(n, bh, _C1_BLK, bw, _C1_BLK, c) \
+           .transpose(0, 1, 3, 2, 4, 5).reshape(n, bh, bw, cin_s2d)
+    # the taps only read blocks [0, oh + 2); drop any extra-pad block row
+    xp = xp[:, :oh + _C1_TAPS - 1, :ow + _C1_TAPS - 1, :]
+
+    pad_n = (-n) % block_images
+    if pad_n:
+        # zero images contribute zero gradient
+        xp = jnp.pad(xp, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+        gout = jnp.pad(gout, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+    grid = xp.shape[0] // block_images
+
+    kernel = functools.partial(_conv1_dw_kernel, out_hw=(oh, ow),
+                               cin_s2d=cin_s2d, cout=cout)
+    dw_s2d = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block_images, oh + _C1_TAPS - 1,
+                          ow + _C1_TAPS - 1, cin_s2d),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_images, oh, ow, cout),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_C1_TAPS * _C1_TAPS * cin_s2d, cout),
+                               lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (_C1_TAPS * _C1_TAPS * cin_s2d, cout), jnp.float32),
+        interpret=interpret,
+    )(xp, gout.astype(xp.dtype))
+    # map s2d taps back to the (11, 11, 3, 96) layout: row index is
+    # (ky*3 + kx)*48 + (di*4 + dj)*3 + cin; taps 11 (the zero pad) drop
+    dw = dw_s2d.reshape(_C1_TAPS, _C1_TAPS, _C1_BLK, _C1_BLK, c, cout)
+    dw = dw.transpose(0, 2, 1, 3, 4, 5).reshape(
+        _C1_TAPS * _C1_BLK, _C1_TAPS * _C1_BLK, c, cout)
+    return dw[:11, :11]
