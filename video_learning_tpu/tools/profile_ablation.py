@@ -61,6 +61,79 @@ def _timed(fn, *args, inner=10, reps=3):
     return float(np.median(times)) / inner
 
 
+def per_layer(args):
+    """Cumulative fwd+bwd cost of each AlexNet stage at the bench
+    shapes; successive deltas attribute step time to single layers (the
+    BASELINE.md round-2 decomposition that motivated the LRN band-matmul
+    rewrite and the conv1_dw Pallas kernel)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from video_learning_tpu.models import alexnet
+    from video_learning_tpu.models.layers import (conv_apply, fc_apply,
+        flat_dim, local_response_normalization, max_pool)
+
+    N = args.batch_clips * args.fpc
+    dt = jnp.float32 if args.cpu else jnp.bfloat16
+    rng = np.random.RandomState(0)
+    params = alexnet.init(jax.random.PRNGKey(0), 101, "fc7")
+    x0 = jnp.asarray(rng.randn(N, 227, 227, 3), jnp.float32)
+    NAMES = ["conv1", "lrn1", "pool1", "conv2", "lrn2", "pool2",
+             "conv3", "conv4", "conv5", "fc6", "fc7"]
+
+    def stack(upto):
+        def f(p, x):
+            def conv(name, inp):
+                _, _, _, _, st, g = alexnet._CONV_SPECS[name]
+                return conv_apply(p[name], inp, (st, st), "SAME",
+                                  groups=g, relu=True, compute_dtype=dt)
+            n = 0
+            for stage in NAMES:
+                if stage.startswith("conv"):
+                    x = conv(stage, x)
+                elif stage.startswith("lrn"):
+                    x = local_response_normalization(x)
+                elif stage.startswith("pool"):
+                    x = max_pool(x, (3, 3), (2, 2), "VALID")
+                else:  # fc
+                    if stage == "fc6":
+                        x = max_pool(x, (3, 3), (2, 2), "VALID")
+                        x = x.reshape(x.shape[0], flat_dim(x.shape[1:]))
+                    x = jax.nn.relu(fc_apply(p[stage], x, dt))
+                n += 1
+                if n == upto:
+                    return x
+            return x
+        return f
+
+    prev = 0.0
+    for i, nm in enumerate(NAMES, start=1):
+        f = stack(i)
+
+        def loss(p, x):
+            return jnp.sum(f(p, x).astype(jnp.float32)) / N
+
+        g = jax.jit(jax.grad(loss, argnums=0))
+
+        def run():
+            out = g(params, x0)
+            return float(jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(l.astype(jnp.float32)), out,
+                jnp.float32(0)))
+
+        run()
+        ts = []
+        for _ in range(args.reps):
+            t0 = _time.perf_counter()
+            run()
+            ts.append(_time.perf_counter() - t0)
+        t = min(ts)
+        print("%-6s cum %7.1f ms  delta %7.1f ms"
+              % (nm, t * 1e3, (t - prev) * 1e3), flush=True)
+        prev = t
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-clips", type=int, default=128)
@@ -68,6 +141,9 @@ def main(argv=None):
     ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--per-layer", action="store_true",
+                    help="cumulative per-layer fwd+bwd deltas instead of "
+                         "the stage decomposition")
     args = ap.parse_args(argv)
 
     import jax
@@ -75,6 +151,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from video_learning_tpu.parallel.mesh import init_platform
     init_platform()
+    if args.per_layer:
+        return per_layer(args)
 
     import jax.numpy as jnp
     from video_learning_tpu.models import alexnet, lstm as lstm_mod
