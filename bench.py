@@ -211,7 +211,11 @@ def run_e2e(args):
             rates.append(frames / fpc / dt)
         return float(np.median(rates[1:]))
 
+    # same mid-run stall protection as the default benchmark path: a
+    # tunnelled-TPU RPC hang must abort, not block the harness forever
+    beat = _start_stall_watchdog()
     host_cps = host_epoch_rate()
+    beat()
     sys.stderr.write("host input pipeline: %.1f clips/s\n" % host_cps)
 
     # device step rate at the same batch (short version of the default
@@ -237,12 +241,14 @@ def run_e2e(args):
         fd = engine._shard_feed(engine._pad_feed(feed))
         p, o, m = many(p, o, fd, jnp.asarray(0), rng_key)
         _ = float(m["loss"][-1])
+        beat()
         tic = time.time()
         n = 0
         for feed, batches, bidx in it:
             fd = engine._shard_feed(engine._pad_feed(feed))
             p, o, m = many(p, o, fd, jnp.asarray(n * steps), rng_key)
             _ = float(m["loss"][-1])
+            beat()
             n += 1
         dt = time.time() - tic
         e2e_cps = n * batch_clips * steps / dt if n else 0.0
@@ -255,12 +261,14 @@ def run_e2e(args):
         p, o, m = many(engine.params, engine.opt_state, fd,
                        jnp.asarray(0), rng_key)
         _ = float(m["loss"][-1])
+        beat()
         times = []
         for r in range(3):
             tic = time.time()
             p, o, m = many(p, o, fd, jnp.asarray((r + 1) * steps), rng_key)
             _ = float(m["loss"][-1])
             times.append(time.time() - tic)
+            beat()
         dev_cps = batch_clips * steps / float(np.median(times))
         sys.stderr.write("device step rate: %.1f clips/s\n" % dev_cps)
         e2e_cps = min(host_cps, dev_cps)

@@ -363,3 +363,21 @@ def test_import_tfrecord(tmp_path):
         assert np.array_equal(img, imgs[i])
         assert lab == [i, i + 1]
     assert os.path.exists(out_path + ".size")
+
+
+def test_export_tfrecord_pure_python_framing(tmp_path):
+    """The no-TF fallback framing (slice-by-8 masked CRC32C + length
+    header) must parse with the real TF record reader."""
+    tf = pytest.importorskip("tensorflow")
+    from video_learning_tpu.tools.export_tfrecord import (_crc32c,
+                                                          write_tfrecord)
+    # standard CRC32C vectors (RFC 3720)
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+    p = tmp_path / "manual.tfrecord"
+    payloads = [b"alpha", b"b" * 3000, bytes(range(256))]
+    with open(p, "wb") as fh:
+        for pay in payloads:
+            write_tfrecord(fh, pay)
+    got = list(tf.data.TFRecordDataset(str(p)).as_numpy_iterator())
+    assert got == payloads

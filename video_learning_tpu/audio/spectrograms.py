@@ -151,9 +151,14 @@ def main(argv=None):
     parser.add_argument("--stft-win", type=float, default=0.040)
     parser.add_argument("--stft-step", type=float, default=0.020)
     args = parser.parse_args(argv)
+    audio = [w for w in args.wavs
+             if w.lower().endswith(AUDIO_EXTENSIONS)]
+    for skipped in set(args.wavs) - set(audio):
+        info("Skipping non-audio input [%s] (recognized: %s)"
+             % (skipped, " ".join(AUDIO_EXTENSIONS)))
     return [generate_spectrogram_frames(w, args.out_dir, args.window_sec,
                                         args.stft_win, args.stft_step)
-            for w in args.wavs]
+            for w in audio]
 
 
 if __name__ == "__main__":

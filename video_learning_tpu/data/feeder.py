@@ -162,6 +162,9 @@ class Feeder:
                         return ckpt
                     warning("Skipping checkpoint without .snap sidecar "
                             "(interrupted save?): %s" % ckpt)
+                error("Resume requires a checkpoint with a .snap "
+                      "position sidecar, but none of the %d checkpoints "
+                      "in %s has one" % (len(ckpts), self.run_folder))
             return ckpts[-1]
         return resume_file
 

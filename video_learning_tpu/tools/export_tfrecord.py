@@ -72,25 +72,41 @@ def encode_example(feature_map):
 
 
 # -------------------------------------------------------- TFRecord framing
-def _crc32c_table():
-    poly = 0x82F63B78  # Castagnoli, reflected
-    table = np.zeros(256, np.uint32)
+def _crc32c_tables(n=8):
+    """Slice-by-N CRC32C tables (Castagnoli, reflected).  Plain-int
+    tables: per-byte numpy scalar indexing made the original formulation
+    ~50x slower (0.15s per 230KB frame — hours for a real dataset)."""
+    poly = 0x82F63B78
+    t0 = []
     for i in range(256):
         crc = i
         for _ in range(8):
             crc = (crc >> 1) ^ (poly if crc & 1 else 0)
-        table[i] = crc
-    return table
+        t0.append(crc)
+    tables = [t0]
+    for k in range(1, n):
+        prev = tables[k - 1]
+        tables.append([(prev[i] >> 8) ^ t0[prev[i] & 0xFF]
+                       for i in range(256)])
+    return tables
 
 
-_CRC_TABLE = _crc32c_table()
+_CRC_TABLES = _crc32c_tables()
 
 
 def _crc32c(data):
+    t = _CRC_TABLES
     crc = 0xFFFFFFFF
-    buf = np.frombuffer(data, np.uint8)
-    for b in buf:
-        crc = (crc >> 8) ^ int(_CRC_TABLE[(crc ^ int(b)) & 0xFF])
+    mv = memoryview(data)
+    n8 = len(mv) - (len(mv) % 8)
+    for i in range(0, n8, 8):
+        b0, b1, b2, b3, b4, b5, b6, b7 = mv[i:i + 8]
+        crc = (t[7][(crc ^ b0) & 0xFF] ^ t[6][((crc >> 8) ^ b1) & 0xFF] ^
+               t[5][((crc >> 16) ^ b2) & 0xFF] ^
+               t[4][((crc >> 24) ^ b3) & 0xFF] ^
+               t[3][b4] ^ t[2][b5] ^ t[1][b6] ^ t[0][b7])
+    for b in mv[n8:]:
+        crc = (crc >> 8) ^ t[0][(crc ^ b) & 0xFF]
     return crc ^ 0xFFFFFFFF
 
 
@@ -108,6 +124,19 @@ def write_tfrecord(fh, payload):
 
 
 # ----------------------------------------------------------------- convert
+def _writer(fh):
+    """Prefer TensorFlow's C++ TFRecordWriter when importable (the
+    export target is TF tooling anyway); fall back to the pure-Python
+    framing above.  Returns (write(payload), close())."""
+    try:
+        import tensorflow as tf
+        fh.close()
+        w = tf.io.TFRecordWriter(fh.name)
+        return w.write, w.close
+    except ImportError:
+        return (lambda payload: write_tfrecord(fh, payload)), fh.close
+
+
 def convert(in_path, out_path=None):
     """Returns (out_path, record_count)."""
     if out_path is None:
@@ -119,6 +148,7 @@ def convert(in_path, out_path=None):
     tmp = out_path + ".tmp"
     try:
         with open(tmp, "wb") as fh:
+            write, close = _writer(fh)
             for i in range(len(reader)):
                 kind, data, labels = reader.read_at(i)
                 if np.isscalar(labels):
@@ -138,8 +168,9 @@ def convert(in_path, out_path=None):
                         "vector_raw": _bytes_feature(
                             data.astype(np.float32).tobytes()),
                     }
-                write_tfrecord(fh, encode_example(feats))
+                write(encode_example(feats))
                 count += 1
+            close()
         os.replace(tmp, out_path)
     except BaseException:
         if os.path.exists(tmp):
