@@ -98,3 +98,24 @@ def test_conv1_dw_kernel_matches_autodiff():
     assert got.shape == ref.shape
     assert np.allclose(got, ref, atol=1e-3 * float(np.abs(ref).max())), \
         np.abs(np.asarray(got) - np.asarray(ref)).max()
+
+
+def test_conv1_dw_xla_matches_autodiff():
+    """The im2col+matmul XLA formulation of the stem-conv weight grad
+    (the production path on TPU) against autodiff."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(3, 45, 37, 3), jnp.float32)
+    w = jnp.asarray(rng.randn(11, 11, 3, 96) * 0.05, jnp.float32)
+    gout = jnp.asarray(rng.randn(3, -(-45 // 4), -(-37 // 4), 96),
+                       jnp.float32)
+
+    def conv(w):
+        return jax.lax.conv_general_dilated(
+            x, w, (4, 4), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ref = jax.grad(lambda w: jnp.sum(conv(w) * gout))(w)
+    got = pk.conv1_dw_xla(x, gout, chunk=2)  # chunk < n: loop + pad path
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=1e-3 * float(np.abs(ref).max())), \
+        np.abs(np.asarray(got) - np.asarray(ref)).max()

@@ -160,8 +160,10 @@ def _conv1_space_to_depth(params, x, compute_dtype):
 # (tests/test_models.py::test_conv1_space_to_depth_matches_direct) for
 # backends where the compiler does not.
 _CONV1_S2D = os.environ.get("VLT_CONV1_S2D", "0") == "1"
-# conv1 with the Pallas weight-grad kernel (measurement gate)
-_CONV1_PALLAS_DW = os.environ.get("VLT_CONV1_PALLAS_DW", "0") == "1"
+# conv1 with the im2col weight-grad formulation (measurement gate)
+_CONV1_PALLAS_DW = os.environ.get("VLT_CONV1_FAST_DW",
+                                  os.environ.get("VLT_CONV1_PALLAS_DW",
+                                                 "0")) == "1"
 
 
 @jax.custom_vjp
@@ -178,15 +180,17 @@ def _conv1_direct_fwd(w, b, x):
 
 
 def _conv1_direct_bwd(res, g):
-    """XLA forward, Pallas dL/dw (ops/pallas_kernels.conv1_dw — the
-    skinny stem-conv weight contraction is the per-layer ablation's top
-    cost under XLA's lowering), XLA dL/dx (dead-code-eliminated in
+    """XLA forward; dL/dw via explicit im2col + one MXU matmul
+    (ops/pallas_kernels.conv1_dw_xla — the skinny stem-conv weight
+    contraction is the per-layer ablation's top cost under XLA's native
+    conv-transpose lowering, and the Mosaic kernel variant is rejected
+    by the TPU compiler); exact XLA dL/dx (dead-code-eliminated in
     training, where the input is data)."""
-    from video_learning_tpu.ops.pallas_kernels import conv1_dw, on_tpu
+    from video_learning_tpu.ops.pallas_kernels import conv1_dw_xla
     w, x, out = res
     g = g * (out > 0).astype(g.dtype)          # relu
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
-    dw = conv1_dw(x, g, interpret=not on_tpu()).astype(w.dtype)
+    dw = conv1_dw_xla(x, g).astype(w.dtype)
     # exact input-grad via the conv's own VJP; in training the input is
     # data, so XLA dead-code-eliminates this entirely
     _, in_vjp = jax.vjp(

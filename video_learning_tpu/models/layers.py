@@ -137,6 +137,22 @@ def _lrn_xla_bwd(depth_radius, bias, alpha, beta, res, g):
 _lrn_xla.defvjp(_lrn_xla_fwd, _lrn_xla_bwd)
 
 
+def _lrn_slide(x, depth_radius, bias, alpha, beta):
+    """Sliding-slice formulation: 2r shifted adds over the channel axis.
+    The right shape for CPU/non-matrix backends — as a (rows, C) @ (C, C)
+    band matmul the same window sum costs C/(2r+1) ~ 19x more scalar
+    FLOPs, which measured 13x slower end-to-end on this image's 1-core
+    host when the band form briefly became the CPU path too."""
+    sq = jnp.square(x).astype(jnp.float32)
+    pad = [(0, 0)] * (x.ndim - 1) + [(depth_radius, depth_radius)]
+    sq = jnp.pad(sq, pad)
+    c = x.shape[-1]
+    acc = sq[..., 0:c]
+    for i in range(1, 2 * depth_radius + 1):
+        acc = acc + sq[..., i:i + c]
+    return x * jnp.power(bias + alpha * acc, -beta).astype(x.dtype)
+
+
 def local_response_normalization(x, depth_radius=2, bias=1.0, alpha=2e-5,
                                  beta=0.75):
     """AlexNet local response normalization over channels, matching
@@ -144,20 +160,24 @@ def local_response_normalization(x, depth_radius=2, bias=1.0, alpha=2e-5,
     (reference models/alexnet/alexnet.py:85-89):
       out = x / (bias + alpha * sum_{d-r..d+r} x_d^2) ** beta.
 
-    The channel-window sum of squares is a banded-matrix matmul — MXU
-    work instead of the lane-rotation channel shifts a sliding-slice
-    formulation lowers to on TPU (measured at the AlexNet conv1 site,
-    2048 bf16 55x55x96 frames on v5e: fwd 11.6 vs 26.3 ms, fwd+bwd 17.8
-    vs 55.2 ms = 3.1x; BASELINE.md has the ladder).  A custom VJP keeps
-    the backward to one more band matmul plus elementwise.  This XLA
-    formulation is the default; ``VLT_USE_PALLAS=1`` selects the fused
-    Pallas kernel (ops/pallas_kernels.lrn), which measured slower here
-    because the pallas_call boundary blocks fusion with the neighboring
-    conv (see its module docstring)."""
+    On TPU the channel-window sum of squares runs as a banded-matrix
+    matmul — MXU work instead of the lane-rotation channel shifts a
+    sliding-slice formulation lowers to (measured at the AlexNet conv1
+    site, 2048 bf16 55x55x96 frames on v5e: fwd 11.6 vs 26.3 ms, fwd+bwd
+    17.8 vs 55.2 ms = 3.1x; BASELINE.md has the ladder).  A custom VJP
+    keeps the backward to one more band matmul plus elementwise.  On CPU
+    the sliding form wins by the same argument in reverse (no matrix
+    unit, ~19x more scalar FLOPs in the band form).  ``VLT_USE_PALLAS=1``
+    selects the fused Pallas kernel (ops/pallas_kernels.lrn), which
+    measured slower than the band-matmul XLA form on v5e because the
+    pallas_call boundary blocks fusion with the neighboring conv (see
+    its module docstring)."""
     from video_learning_tpu.ops import pallas_kernels
     if pallas_kernels.enabled():
         return pallas_kernels.lrn(x, depth_radius, bias, alpha, beta)
-    return _lrn_xla(x, depth_radius, bias, alpha, beta)
+    if pallas_kernels.on_tpu():
+        return _lrn_xla(x, depth_radius, bias, alpha, beta)
+    return _lrn_slide(x, depth_radius, bias, alpha, beta)
 
 
 # ----------------------------------------------------------------- dropout

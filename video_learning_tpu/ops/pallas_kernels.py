@@ -318,3 +318,46 @@ def conv1_dw(x, gout, block_images=8, interpret=False):
     dw = dw.transpose(0, 2, 1, 3, 4, 5).reshape(
         _C1_TAPS * _C1_BLK, _C1_TAPS * _C1_BLK, c, cout)
     return dw[:11, :11]
+
+
+def conv1_dw_xla(x, gout, chunk=256):
+    """dL/dw for the stem conv as explicit im2col + MXU matmuls (pure
+    XLA).  The Mosaic kernel above (conv1_dw) is rejected by the TPU
+    compiler ("unsupported shape cast" on the 4D->2D flatten), and XLA's
+    native conv-transpose lowering of this gradient measured 36.5 ms
+    in-step (1045 -> 1457.7 clips/s with it removed; BASELINE.md); here
+    the (positions, taps) patch matrix becomes a (363, K) x (K, 96)
+    contraction with K = N*OH*OW.  The batch is processed in ``chunk``
+    image slices inside a fori_loop so the materialized patch buffer
+    stays bounded (~chunk * OH*OW * 363 * 2B; the whole-batch buffer is
+    ~4.8 GB at the bench shapes and risks HBM exhaustion next to the
+    step's live activations).
+
+    Returns (11, 11, C, cout) float32."""
+    n, h, w, c = x.shape
+    cout = gout.shape[-1]
+    chunk = min(chunk, n)
+    pad_n = (-n) % chunk
+    if pad_n:
+        # zero images contribute zero gradient
+        x = jnp.pad(x, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+        gout = jnp.pad(gout, ((0, pad_n), (0, 0), (0, 0), (0, 0)))
+    k = c * 11 * 11
+
+    def body(i, acc):
+        xs = jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, 0)
+        gs = jax.lax.dynamic_slice_in_dim(gout, i * chunk, chunk, 0)
+        patches = jax.lax.conv_general_dilated_patches(
+            xs, (11, 11), (4, 4), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (chunk,OH,OW,k)
+        return acc + jax.lax.dot_general(
+            patches.reshape(-1, k),
+            gs.astype(patches.dtype).reshape(-1, cout),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (k, cout)
+
+    dw = jax.lax.fori_loop(0, x.shape[0] // chunk, body,
+                           jnp.zeros((k, cout), jnp.float32))
+    # patches order the feature dim as (C, KH, KW) (depthwise-style);
+    # transpose back to the (KH, KW, C, cout) kernel layout
+    return dw.reshape(c, 11, 11, cout).transpose(1, 2, 0, 3)
