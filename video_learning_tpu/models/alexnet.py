@@ -160,7 +160,11 @@ def _conv1_space_to_depth(params, x, compute_dtype):
 # (tests/test_models.py::test_conv1_space_to_depth_matches_direct) for
 # backends where the compiler does not.
 _CONV1_S2D = os.environ.get("VLT_CONV1_S2D", "0") == "1"
-# conv1 with the im2col weight-grad formulation (measurement gate)
+# conv1 with the im2col weight-grad formulation.  Measured on v5e:
+# 980 clips/s whole-workload vs 1045 for XLA's native lowering (the
+# materialized patch matrix adds ~9.7 GB HBM traffic per step) — stays
+# opt-in; the freeze ablation (1457.7 c/s) bounds what a fully fused
+# weight-grad could recover.  BASELINE.md has the table.
 _CONV1_PALLAS_DW = os.environ.get("VLT_CONV1_FAST_DW",
                                   os.environ.get("VLT_CONV1_PALLAS_DW",
                                                  "0")) == "1"

@@ -333,6 +333,11 @@ def conv1_dw_xla(x, gout, chunk=256):
     ~4.8 GB at the bench shapes and risks HBM exhaustion next to the
     step's live activations).
 
+    Measured whole-workload on v5e: 980 vs 1045 clips/s — the patch
+    materialization's ~9.7 GB/step extra HBM traffic outweighs the
+    matmul-efficiency gain, so XLA's native lowering stays the default
+    (BASELINE.md has the full table incl. the 1457.7 c/s freeze bound).
+
     Returns (11, 11, C, cout) float32."""
     n, h, w, c = x.shape
     cout = gout.shape[-1]
