@@ -100,6 +100,33 @@ def test_conv1_dw_kernel_matches_autodiff():
         np.abs(np.asarray(got) - np.asarray(ref)).max()
 
 
+@pytest.mark.parametrize("shape,block_rows", [
+    ((3, 39, 43, 3), 64),     # multi-block + row padding path
+    ((2, 45, 37, 3), 4096),   # single block (k < block_rows)
+])
+def test_conv1_dw_shifted_matches_autodiff(shape, block_rows):
+    """The row-shifted-matmul Pallas weight-grad kernel against autodiff
+    through the direct 11x11-stride-4 SAME conv."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    w = jnp.asarray(rng.randn(11, 11, 3, 96) * 0.05, jnp.float32)
+    gout = jnp.asarray(
+        rng.randn(shape[0], -(-shape[1] // 4), -(-shape[2] // 4), 96),
+        jnp.float32)
+
+    def conv(w):
+        return jax.lax.conv_general_dilated(
+            x, w, (4, 4), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ref = jax.grad(lambda w: jnp.sum(conv(w) * gout))(w)
+    got = pk.conv1_dw_shifted(x, gout, block_rows=block_rows,
+                              interpret=True)
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=1e-3 * float(np.abs(ref).max())), \
+        np.abs(np.asarray(got) - np.asarray(ref)).max()
+
+
 def test_conv1_dw_xla_matches_autodiff():
     """The im2col+matmul XLA formulation of the stem-conv weight grad
     (the production path on TPU) against autodiff."""

@@ -205,3 +205,68 @@ def test_example_feed_roundtrip():
     feed = m.example_feed(batch_items=2)
     logits = m.apply(params, feed)
     assert logits.shape[0] == feed["labels"].shape[0]
+
+
+def test_vectorizer_wrappers_direct():
+    """The vectorizer strategy objects as library API
+    (reference vectorizer.py:7-78): init/apply/output_dim/groups."""
+    import jax.numpy as jnp
+    from video_learning_tpu.models import vectorizer
+    from video_learning_tpu.utils import FrameworkError
+
+    rng = jax.random.PRNGKey(0)
+    nop = vectorizer.NOP()
+    x = jnp.asarray(np.random.randn(4, 16), jnp.float32)
+    assert nop.init(rng, (16,)) is None
+    assert nop.apply(None, x) is x
+    assert nop.output_dim(16) == 16
+
+    fc = vectorizer.FC(8)
+    p = fc.init(rng, (16,))
+    out = fc.apply(p, x)
+    assert out.shape == (4, 8)
+    assert fc.output_dim(16) == 8
+    assert fc.train_modified == [""] and fc.train_regular == []
+    with pytest.raises(FrameworkError):
+        fc.apply(p, x[0])  # rank check
+
+    dc = vectorizer.DCNN(num_classes=4, frame_encoding_layer="fc6")
+    p = dc.init(rng, (67, 67, 3))
+    frames = jnp.asarray(np.random.randn(2, 67, 67, 3), jnp.float32)
+    out = dc.apply(p, frames)
+    assert out.shape == (2, dc.output_dim(3))
+    # two-tier groups: fc8 absent under fc6 truncation, convs regular
+    assert "conv1" in dc.train_regular and "fc8" not in dc.train_modified
+
+    lv = vectorizer.LSTM(num_hidden=8, num_layers=1, sequence_len=3)
+    p = lv.init(rng, (16,))
+    seq = jnp.asarray(np.random.randn(2 * 3, 16), jnp.float32)
+    outs, states = lv.apply(p, seq)
+    assert outs.shape == (2, 3, 8)
+    assert lv.output_dim(16) == 8
+
+
+def test_pipeline_dispatches_through_vectorizer(monkeypatch):
+    """models/pipeline.py must run representations via the vectorizer
+    wrappers (one code path, VERDICT round-2 §2.8)."""
+    from video_learning_tpu.models import vectorizer
+
+    calls = []
+    orig = vectorizer.FC.apply
+
+    def spy(self, params, x, compute_dtype=None):
+        calls.append(self.name)
+        return orig(self, params, x, compute_dtype)
+
+    monkeypatch.setattr(vectorizer.FC, "apply", spy)
+    ds = StubDataset("main", (16,), 1, 1)
+    net = _net(input=["main"], representation=defs.representation.fc,
+               fc_output_dim=8, classifier=defs.classifier.fc)
+    s = _settings({"p": net}, ["p"], [ds])
+    m = Model(s)
+    assert m.specs[0]["vectorizer"].name == "FC"
+    params = m.init_params(jax.random.PRNGKey(0))
+    feed = {"p_main_input": np.random.randn(6, 16).astype(np.float32)}
+    logits = m.apply(params, feed)
+    assert logits.shape == (6, 4)
+    assert calls == ["FC"]

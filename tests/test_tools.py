@@ -381,3 +381,78 @@ def test_export_tfrecord_pure_python_framing(tmp_path):
             write_tfrecord(fh, pay)
     got = list(tf.data.TFRecordDataset(str(p)).as_numpy_iterator())
     assert got == payloads
+
+
+def test_combine_logits_three_way(tmp_path):
+    """N-way simplex sweep + 3-run intersection (reference loads >=2 sets,
+    combine_logits.py:248-305; the sweep generalizes its 2-way table)."""
+    from video_learning_tpu.tools import combine_logits as cl
+    rng = np.random.RandomState(3)
+    labels = rng.randint(0, 4, 15)
+    perfect = np.eye(4)[labels] * 5.0
+    noisy1 = rng.randn(15, 4)
+    noisy2 = rng.randn(15, 4)
+    paths, gts = [], []
+    for i, lg in enumerate((perfect, noisy1, noisy2)):
+        p = tmp_path / ("v%d.pickle" % i)
+        pickle.dump(lg, open(p, "wb"))
+        paths.append(str(p))
+        gt = tmp_path / ("gt%d.txt" % i)
+        gt.write_text("\n".join("vid%d %d" % (j, l)
+                                for j, l in enumerate(labels)) + "\n")
+        gts.append(str(gt))
+    sweep = cl.combine(paths, gts)
+    # the full step-0.1 3-simplex has C(12,2) = 66 weight triples
+    assert len(sweep) == 66
+    table = {row[:-1]: row[-1] for row in sweep}
+    assert table[(1.0, 0.0, 0.0)] == pytest.approx(1.0)
+    assert all(len(row) == 4 for row in sweep)
+    assert all(abs(sum(row[:-1]) - 1.0) < 1e-9 for row in sweep)
+
+    # 3-run intersection: only vids common to ALL runs survive
+    vids = [["a", "b", "c", "d"], ["b", "c", "d"], ["c", "b"]]
+    labs = [np.asarray([0, 1, 2, 3]), np.asarray([1, 2, 3]),
+            np.asarray([2, 1])]
+    lgs = [np.eye(4)[[0, 1, 2, 3]], np.eye(4)[[1, 2, 3]],
+           np.eye(4)[[2, 1]]]
+    kept, common = cl.intersect_runs(vids, labs, lgs)
+    assert common.tolist() == [1, 2]
+    assert [k.shape[0] for k in kept] == [2, 2, 2]
+
+
+def test_postproc_flatten_collision_atomic(tmp_path):
+    """A flatten collision must abort BEFORE any file moves (ADVICE r2:
+    no half-flattened tree)."""
+    import pytest as _pytest
+    from video_learning_tpu.audio import postproc_folders as pp
+    from video_learning_tpu.utils import FrameworkError
+    base = tmp_path / "base"
+    (base / "sub1").mkdir(parents=True)
+    (base / "sub2").mkdir()
+    (base / "sub1" / "x.png").write_bytes(b"1")
+    (base / "sub2" / "x.png").write_bytes(b"2")  # duplicate child name
+    (base / "sub2" / "y.png").write_bytes(b"3")
+    with _pytest.raises(FrameworkError):
+        pp.flatten_one_level(str(base))
+    # nothing moved: both subdirs intact with original children
+    assert sorted(os.listdir(base / "sub1")) == ["x.png"]
+    assert sorted(os.listdir(base / "sub2")) == ["x.png", "y.png"]
+    assert not (base / "x.png").exists()
+
+    # collision with a child named like its own (not-yet-removed) parent
+    base2 = tmp_path / "base2"
+    (base2 / "sub").mkdir(parents=True)
+    (base2 / "sub" / "sub").write_bytes(b"z")
+    with _pytest.raises(FrameworkError):
+        pp.flatten_one_level(str(base2))
+    assert (base2 / "sub" / "sub").exists()
+
+    # a later subfolder's child may legally reuse an earlier subfolder's
+    # name (the earlier one is rmdir'd before the move)
+    base3 = tmp_path / "base3"
+    (base3 / "a").mkdir(parents=True)
+    (base3 / "b").mkdir()
+    (base3 / "a" / "f1.png").write_bytes(b"1")
+    (base3 / "b" / "a").write_bytes(b"2")
+    assert pp.flatten_one_level(str(base3)) == 2
+    assert (base3 / "f1.png").exists() and (base3 / "a").is_file()

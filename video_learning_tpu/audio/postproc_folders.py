@@ -20,21 +20,40 @@ from video_learning_tpu.utils import ensure_console_logging, error, info
 
 def flatten_one_level(base_dir):
     """Move every child of every subdirectory of base_dir into base_dir,
-    then remove the emptied subdirectories."""
-    moved = 0
+    then remove the emptied subdirectories.
+
+    All collisions (against existing base-dir entries AND duplicate child
+    names across subfolders) are detected BEFORE any rename happens, so a
+    failed run never leaves the tree half-flattened."""
+    pending = []             # (src, dst) in execution order
+    seen = {e: "<base>" for e in os.listdir(base_dir)}
+    conflicts = []
     for entry in sorted(os.listdir(base_dir)):
         sub = os.path.join(base_dir, entry)
         if not os.path.isdir(sub):
             continue
         for child in sorted(os.listdir(sub)):
-            src = os.path.join(sub, child)
-            dst = os.path.join(base_dir, child)
-            if os.path.exists(dst):
-                error("Flatten collision: [%s] already exists in [%s]"
-                      % (child, base_dir))
+            if child in seen:
+                conflicts.append("[%s] from [%s] collides with [%s]"
+                                 % (child, entry, seen[child]))
+            else:
+                seen[child] = entry
+            pending.append((os.path.join(sub, child),
+                            os.path.join(base_dir, child)))
+        pending.append((sub, None))  # rmdir marker after its children
+        # only now does the subfolder's own name free up (rmdir runs
+        # after its children moved; later subfolders may reuse the name)
+        seen.pop(entry, None)
+    if conflicts:
+        error("Flatten collisions (no files were moved): %s"
+              % "; ".join(conflicts))
+    moved = 0
+    for src, dst in pending:
+        if dst is None:
+            os.rmdir(src)
+        else:
             os.rename(src, dst)
             moved += 1
-        os.rmdir(sub)
     info("Flattened %d entries into %s" % (moved, base_dir))
     return moved
 

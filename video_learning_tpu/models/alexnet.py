@@ -160,14 +160,24 @@ def _conv1_space_to_depth(params, x, compute_dtype):
 # (tests/test_models.py::test_conv1_space_to_depth_matches_direct) for
 # backends where the compiler does not.
 _CONV1_S2D = os.environ.get("VLT_CONV1_S2D", "0") == "1"
-# conv1 with the im2col weight-grad formulation.  Measured on v5e:
-# 980 clips/s whole-workload vs 1045 for XLA's native lowering (the
-# materialized patch matrix adds ~9.7 GB HBM traffic per step) — stays
-# opt-in; the freeze ablation (1457.7 c/s) bounds what a fully fused
-# weight-grad could recover.  BASELINE.md has the table.
-_CONV1_PALLAS_DW = os.environ.get("VLT_CONV1_FAST_DW",
-                                  os.environ.get("VLT_CONV1_PALLAS_DW",
-                                                 "0")) == "1"
+# conv1 with a replacement weight-grad formulation (VLT_CONV1_DW_IMPL):
+#   "shifted" — Pallas row-shifted-matmul kernel over position-flattened
+#               s2d operands (ops/pallas_kernels.conv1_dw_shifted); reads
+#               each operand once and runs the 9 tap-contractions as
+#               static-slice MXU matmuls.
+#   "im2col"  — chunked explicit-patch + MXU matmul (conv1_dw_xla).
+#               Measured on v5e round 2: 980 clips/s whole-workload vs
+#               1045 for XLA's native lowering (the patch matrix adds
+#               ~9.7 GB HBM traffic per step).
+# The legacy VLT_CONV1_FAST_DW=1 / VLT_CONV1_PALLAS_DW=1 flags select
+# "im2col".  The freeze ablation (1457.7 c/s) bounds what a fully fused
+# weight-grad can recover; BASELINE.md has the table.
+_CONV1_DW_IMPL = os.environ.get("VLT_CONV1_DW_IMPL", "")
+if not _CONV1_DW_IMPL and os.environ.get(
+        "VLT_CONV1_FAST_DW", os.environ.get("VLT_CONV1_PALLAS_DW",
+                                            "0")) == "1":
+    _CONV1_DW_IMPL = "im2col"
+_CONV1_PALLAS_DW = _CONV1_DW_IMPL in ("im2col", "shifted")
 
 
 @jax.custom_vjp
@@ -180,21 +190,23 @@ def _conv1_direct(w, b, x):
 
 def _conv1_direct_fwd(w, b, x):
     out = _conv1_direct(w, b, x)
-    return out, (w, x, out)
+    return out, (w, b, x, out)
 
 
 def _conv1_direct_bwd(res, g):
-    """XLA forward; dL/dw via explicit im2col + one MXU matmul
-    (ops/pallas_kernels.conv1_dw_xla — the skinny stem-conv weight
-    contraction is the per-layer ablation's top cost under XLA's native
-    conv-transpose lowering, and the Mosaic kernel variant is rejected
-    by the TPU compiler); exact XLA dL/dx (dead-code-eliminated in
-    training, where the input is data)."""
-    from video_learning_tpu.ops.pallas_kernels import conv1_dw_xla
-    w, x, out = res
+    """XLA forward; dL/dw via the selected replacement formulation
+    (ops/pallas_kernels.conv1_dw_shifted / conv1_dw_xla — the skinny
+    stem-conv weight contraction is the per-layer ablation's top cost
+    under XLA's native conv-transpose lowering); exact XLA dL/dx
+    (dead-code-eliminated in training, where the input is data)."""
+    from video_learning_tpu.ops import pallas_kernels as pk
+    w, b, x, out = res
     g = g * (out > 0).astype(g.dtype)          # relu
-    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
-    dw = conv1_dw_xla(x, g).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(b.dtype)
+    if _CONV1_DW_IMPL == "shifted":
+        dw = pk.conv1_dw_shifted(x, g).astype(w.dtype)
+    else:
+        dw = pk.conv1_dw_xla(x, g).astype(w.dtype)
     # exact input-grad via the conv's own VJP; in training the input is
     # data, so XLA dead-code-eliminates this entirely
     _, in_vjp = jax.vjp(

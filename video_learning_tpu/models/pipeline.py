@@ -36,8 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_learning_tpu.defs import defs
-from video_learning_tpu.models import alexnet
 from video_learning_tpu.models import lstm as lstm_mod
+from video_learning_tpu.models import vectorizer
 from video_learning_tpu.models.layers import (convert_dim_fc_apply,
                                               convert_dim_fc_init, dropout)
 from video_learning_tpu.ops import fusion
@@ -144,7 +144,9 @@ class Model:
                     error("The LSTM classifier requires an fpc greater "
                           "than 1 (pipeline [%s])" % pname)
             spec = {"name": pname, "net": net, "sources": sources,
-                    "caption": caption}
+                    "caption": caption,
+                    "vectorizer": vectorizer.make_vectorizer(
+                        net, self.num_classes)}
             self.specs.append(spec)
             self.pipeline_meta[pname] = self._output_meta(spec)
         # training labels are required input too (reference train.py:117-118
@@ -167,13 +169,7 @@ class Model:
         return dims[0], cpvs[0], fpcs[0]
 
     def _repr_dim(self, spec, in_dim, in_shape):
-        net = spec["net"]
-        if net.representation == defs.representation.dcnn:
-            return alexnet.output_dim(net.frame_encoding_layer,
-                                      self.num_classes)
-        if net.representation == defs.representation.fc:
-            return net.fc_output_dim
-        return in_dim
+        return spec["vectorizer"].output_dim(in_dim)
 
     def _output_meta(self, spec):
         net = spec["net"]
@@ -207,24 +203,19 @@ class Model:
         in_dim, cpv, fpc = self._fused_input_meta(spec)
         in_shape = spec["sources"][0].shape
 
-        if net.representation == defs.representation.dcnn:
-            fc6_in = alexnet.conv_output_flat_dim(in_shape)
-            p["dcnn"] = alexnet.init(keys[0], self.num_classes,
-                                     net.frame_encoding_layer,
-                                     net.weights_file, fc6_in=fc6_in)
-            reg, mod = alexnet.param_groups(p["dcnn"],
-                                            prefix=name + "/dcnn/")
-            self._groups["regular"].extend(reg)
-            self._groups["modified"].extend(mod)
-            dim = alexnet.output_dim(net.frame_encoding_layer,
-                                     self.num_classes)
-        elif net.representation == defs.representation.fc:
-            p["repr_fc"] = convert_dim_fc_init(keys[0], in_dim,
-                                               net.fc_output_dim)
-            self._groups["modified"].append(name + "/repr_fc")
-            dim = net.fc_output_dim
-        else:
-            dim = in_dim
+        # representation: dispatch through the vectorizer wrappers
+        # (reference model.py:84-97 builds via vectorizer.Vectorizer.build)
+        vec = spec["vectorizer"]
+        if vec.param_key is not None:
+            vec_shape = in_shape if vec.name == vectorizer.DCNN.name \
+                else (in_dim,)
+            p[vec.param_key] = vec.init(keys[0], vec_shape)
+            for group, rels in (("regular", vec.train_regular),
+                                ("modified", vec.train_modified)):
+                self._groups[group].extend(
+                    name + "/" + vec.param_key + ("/" + rel if rel else "")
+                    for rel in rels)
+        dim = vec.output_dim(in_dim)
 
         if net.classifier == defs.classifier.fc:
             p["clf_fc"] = convert_dim_fc_init(keys[1], dim, self.num_classes)
@@ -324,25 +315,20 @@ class Model:
         fusion_type, fusion_method = (net.frame_fusion if net.frame_fusion
                                       else (None, None))
 
-        # representation
-        if net.representation == defs.representation.dcnn:
-            def dcnn_fn(params_dcnn, frames):
-                # frames arrive in the compute dtype from the device
-                # preprocessor (or f32 from host paths); conv_apply casts
-                # as needed — no forced f32 round-trip
-                return alexnet.apply(params_dcnn, frames,
-                                     net.frame_encoding_layer,
-                                     compute_dtype=self.compute_dtype)
-            if getattr(self.settings, "remat", False):
-                # rematerialize the frame encoder's activations in the
-                # backward pass: trades FLOPs for HBM, enabling larger
-                # frame batches (jax.checkpoint)
-                dcnn_fn = jax.checkpoint(dcnn_fn)
-            x = dcnn_fn(p["dcnn"], x)
-        elif net.representation == defs.representation.fc:
-            x = convert_dim_fc_apply(p["repr_fc"], x, self.compute_dtype)
-        elif net.representation != defs.representation.nop:
-            error("Undefined representation [%s]" % net.representation)
+        # representation: one code path through the vectorizer wrappers
+        # (frames arrive in the compute dtype from the device preprocessor
+        # or f32 from host paths; the wrappers cast as needed)
+        vec = spec["vectorizer"]
+
+        def vec_fn(vp, inp):
+            return vec.apply(vp, inp, compute_dtype=self.compute_dtype)
+        if vec.name == vectorizer.DCNN.name and \
+                getattr(self.settings, "remat", False):
+            # rematerialize the frame encoder's activations in the
+            # backward pass: trades FLOPs for HBM, enabling larger
+            # frame batches (jax.checkpoint)
+            vec_fn = jax.checkpoint(vec_fn)
+        x = vec_fn(p.get(vec.param_key), x)
         dim = int(x.shape[-1])
         if self.settings.print_tensors:
             x = print_tensor(x, "Vectorized output [%s]" % name)
@@ -372,9 +358,10 @@ class Model:
                     inputs[1], dims[1], cpvs[0], cpvs[1])
                 init_state = convert_dim_fc_apply(p.get("input_state_fc"),
                                                   state)
-            seq_out, states = lstm_mod.evaluate_sequence(
-                p["lstm"], x, num_hidden, output_fpc,
-                init_state=init_state, compute_dtype=self.compute_dtype)
+            seq_out, states = vectorizer.LSTM(
+                num_hidden, num_layers, output_fpc).apply(
+                p["lstm"], x, compute_dtype=self.compute_dtype,
+                init_state=init_state)
             if lstm_fusion == defs.fusion_method.state:
                 logits = states[-1][1]  # final hidden state (model.py:137)
             else:

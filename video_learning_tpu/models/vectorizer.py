@@ -1,11 +1,22 @@
-"""Vectorizer strategy wrappers: NOP / DCNN / FC / LSTM.
+"""Vectorizer strategy objects: NOP / DCNN / FC / LSTM.
 
-Counterpart of /root/reference/vectorizer.py:7-78 — thin strategy objects
+Counterpart of /root/reference/vectorizer.py:7-78 — strategy objects
 bridging raw inputs to feature vectors with input-rank checks.  The
-pipeline DAG builder (models/pipeline.py) dispatches representations
-directly; these wrappers exist for library users composing models outside
-the config system, and carry the two-tier training groups the reference's
-``Trainable`` base tracked (utils_.py:250-257).
+pipeline DAG builder (models/pipeline.py) dispatches every
+``representation`` through these (``make_vectorizer`` + ``init`` /
+``apply``), exactly as the reference's model.py builds its graph through
+Vectorizer.build; the LSTM wrapper additionally backs the non-caption
+LSTM classifier sequence pass.
+
+Contract with the pipeline builder:
+* ``param_key``       — name of the vectorizer's subtree inside the
+                        pipeline's parameter dict (None: stateless),
+* ``init(rng, shape)``— build the parameter tree; fills
+                        ``train_regular`` / ``train_modified`` with
+                        RELATIVE parameter paths ("" = the whole tree)
+                        for the two-tier LR groups the reference's
+                        ``Trainable`` base tracked (utils_.py:250-257),
+* ``apply(params, x, compute_dtype)`` — run it.
 """
 
 from video_learning_tpu.models import alexnet, lstm as lstm_mod
@@ -19,6 +30,7 @@ class Vectorizer:
 
     name = "base"
     description = "abstract vectorizer"
+    param_key = None
 
     def __init__(self):
         self.train_regular = []
@@ -34,9 +46,14 @@ class Vectorizer:
                   "shape %s" % (self.name, rank, tuple(shape)))
 
     def init(self, rng, input_shape):
-        return {}
+        return None
 
-    def apply(self, params, x):
+    def output_dim(self, in_dim):
+        """Feature dimension produced for inputs of trailing dim
+        ``in_dim`` (static metadata for the DAG resolve pass)."""
+        return in_dim
+
+    def apply(self, params, x, compute_dtype=None):
         raise NotImplementedError
 
 
@@ -44,13 +61,14 @@ class NOP(Vectorizer):
     name = "nop"
     description = "Does not transform input"
 
-    def apply(self, params, x):
+    def apply(self, params, x, compute_dtype=None):
         return x
 
 
 class DCNN(Vectorizer):
     name = "dcnn"
     description = "Deep convolutional neural net (AlexNet)"
+    param_key = "dcnn"
 
     def __init__(self, num_classes, frame_encoding_layer="fc7",
                  weights_file=None):
@@ -69,33 +87,43 @@ class DCNN(Vectorizer):
             alexnet.param_groups(params)
         return params
 
-    def apply(self, params, x):
+    def output_dim(self, in_dim):
+        return alexnet.output_dim(self.frame_encoding_layer,
+                                  self.num_classes)
+
+    def apply(self, params, x, compute_dtype=None):
         self.require_input(x.shape, 3)
-        return alexnet.apply(params, x, self.frame_encoding_layer)
+        return alexnet.apply(params, x, self.frame_encoding_layer,
+                             compute_dtype=compute_dtype)
 
 
 class FC(Vectorizer):
     name = "FC"
     description = "Fully-connected layer"
+    param_key = "repr_fc"
 
-    def __init__(self, output_dim):
+    def __init__(self, fc_output_dim):
         super().__init__()
-        self.output_dim = output_dim
+        self.fc_output_dim = fc_output_dim
 
     def init(self, rng, input_shape):
         params = convert_dim_fc_init(rng, int(input_shape[-1]),
-                                     self.output_dim)
-        self.train_modified = ["fc"]
+                                     self.fc_output_dim)
+        self.train_modified = [""]
         return params
 
-    def apply(self, params, x):
+    def output_dim(self, in_dim):
+        return self.fc_output_dim
+
+    def apply(self, params, x, compute_dtype=None):
         self.require_input(x.shape, 2)
-        return convert_dim_fc_apply(params, x)
+        return convert_dim_fc_apply(params, x, compute_dtype)
 
 
 class LSTM(Vectorizer):
     name = "lstm"
     description = "Long short-term memory network"
+    param_key = "lstm"
 
     def __init__(self, num_hidden, num_layers, sequence_len):
         super().__init__()
@@ -106,11 +134,30 @@ class LSTM(Vectorizer):
     def init(self, rng, input_shape):
         params = lstm_mod.init(rng, int(input_shape[-1]), self.num_hidden,
                                self.num_layers)
-        self.train_modified = ["lstm"]
+        self.train_modified = [""]
         return params
 
-    def apply(self, params, x, lengths=None, init_state=None):
+    def output_dim(self, in_dim):
+        return self.num_hidden
+
+    def apply(self, params, x, compute_dtype=None, lengths=None,
+              init_state=None):
         self.require_input(x.shape, 2)
         return lstm_mod.evaluate_sequence(params, x, self.num_hidden,
                                           self.sequence_len, lengths,
-                                          init_state)
+                                          init_state,
+                                          compute_dtype=compute_dtype)
+
+
+def make_vectorizer(net, num_classes):
+    """Vectorizer for a pipeline's ``representation`` setting (the
+    dispatch the reference's model.py:84-97 performs inline)."""
+    from video_learning_tpu.defs import defs
+    if net.representation == defs.representation.dcnn:
+        return DCNN(num_classes, net.frame_encoding_layer,
+                    net.weights_file)
+    if net.representation == defs.representation.fc:
+        return FC(net.fc_output_dim)
+    if net.representation == defs.representation.nop:
+        return NOP()
+    error("Undefined representation [%s]" % net.representation)

@@ -271,21 +271,8 @@ def conv1_dw(x, gout, block_images=8, interpret=False):
     n, h, w, c = x.shape
     oh, ow = gout.shape[1], gout.shape[2]
     cout = gout.shape[-1]
-    # SAME padding for k=11 s4, then extend to whole 4x4 blocks (the
-    # same geometry as models/alexnet._conv1_space_to_depth)
-    pad_h = max((oh - 1) * _C1_BLK + 11 - h, 0)
-    pad_w = max((ow - 1) * _C1_BLK + 11 - w, 0)
-    plh, plw = pad_h // 2, pad_w // 2
-    eh = (-(h + pad_h)) % _C1_BLK
-    ew = (-(w + pad_w)) % _C1_BLK
-    xp = jnp.pad(x, ((0, 0), (plh, pad_h - plh + eh),
-                     (plw, pad_w - plw + ew), (0, 0)))
-    bh, bw = xp.shape[1] // _C1_BLK, xp.shape[2] // _C1_BLK
     cin_s2d = _C1_BLK * _C1_BLK * c
-    xp = xp.reshape(n, bh, _C1_BLK, bw, _C1_BLK, c) \
-           .transpose(0, 1, 3, 2, 4, 5).reshape(n, bh, bw, cin_s2d)
-    # the taps only read blocks [0, oh + 2); drop any extra-pad block row
-    xp = xp[:, :oh + _C1_TAPS - 1, :ow + _C1_TAPS - 1, :]
+    xp = _conv1_s2d_geometry(x, oh, ow)
 
     pad_n = (-n) % block_images
     if pad_n:
@@ -312,12 +299,144 @@ def conv1_dw(x, gout, block_images=8, interpret=False):
             (_C1_TAPS * _C1_TAPS * cin_s2d, cout), jnp.float32),
         interpret=interpret,
     )(xp, gout.astype(xp.dtype))
-    # map s2d taps back to the (11, 11, 3, 96) layout: row index is
-    # (ky*3 + kx)*48 + (di*4 + dj)*3 + cin; taps 11 (the zero pad) drop
+    return _conv1_dw_s2d_to_hwio(dw_s2d, c, cout)
+
+
+def _conv1_s2d_geometry(x, oh, ow):
+    """Space-to-depth rearrange of stem-conv input frames for the
+    weight-grad kernels: (N, H, W, C) -> (N, oh+2, ow+2, 16*C) with the
+    SAME-pad geometry of the 11x11-stride-4 conv (block 4 = stride, 3
+    taps per axis; see models/alexnet._conv1_space_to_depth)."""
+    n, h, w, c = x.shape
+    pad_h = max((oh - 1) * _C1_BLK + 11 - h, 0)
+    pad_w = max((ow - 1) * _C1_BLK + 11 - w, 0)
+    plh, plw = pad_h // 2, pad_w // 2
+    eh = (-(h + pad_h)) % _C1_BLK
+    ew = (-(w + pad_w)) % _C1_BLK
+    xp = jnp.pad(x, ((0, 0), (plh, pad_h - plh + eh),
+                     (plw, pad_w - plw + ew), (0, 0)))
+    bh, bw = xp.shape[1] // _C1_BLK, xp.shape[2] // _C1_BLK
+    cin_s2d = _C1_BLK * _C1_BLK * c
+    xp = xp.reshape(n, bh, _C1_BLK, bw, _C1_BLK, c) \
+           .transpose(0, 1, 3, 2, 4, 5).reshape(n, bh, bw, cin_s2d)
+    # the taps only read blocks [0, oh + 2); drop any extra-pad block row
+    return xp[:, :oh + _C1_TAPS - 1, :ow + _C1_TAPS - 1, :]
+
+
+def _conv1_dw_s2d_to_hwio(dw_s2d, c, cout):
+    """Map the (taps*16C, cout) s2d weight grad back to (11, 11, C, cout):
+    row index is (ky*3 + kx)*16C + (di*4 + dj)*C + cin; tap row/col 11
+    (the zero pad) drops."""
     dw = dw_s2d.reshape(_C1_TAPS, _C1_TAPS, _C1_BLK, _C1_BLK, c, cout)
     dw = dw.transpose(0, 2, 1, 3, 4, 5).reshape(
         _C1_TAPS * _C1_BLK, _C1_TAPS * _C1_BLK, c, cout)
     return dw[:11, :11]
+
+
+def _conv1_dw_shift_kernel(xm_ref, xh_ref, g_ref, out_ref, *, offs,
+                           cin_s2d, rows):
+    """Per grid step: 9 tap-contractions as row-shifted matmuls.
+
+    Every operand stays 2-D end to end (the flatten to (positions,
+    channels) happened outside the kernel in XLA) and every slice below
+    has static offsets, so no Mosaic shape cast is ever needed — this is
+    the restructuring that un-blocks the compiler rejection recorded for
+    conv1_dw (BASELINE.md round-2 table).  For tap offset ``off`` the
+    contraction pairs X rows [i*R + off, (i+1)*R + off) with G rows
+    [i*R, (i+1)*R); the first R - off rows come from this block's X
+    (``xm``), the last ``off`` rows from the next block's head (``xh``,
+    a small pre-gathered side array)."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xm = xm_ref[:]          # (R, cin_s2d)
+    xh = xh_ref[:]          # (HEAD >= max(offs), cin_s2d)
+    g = g_ref[:]            # (R, cout)
+    for t, off in enumerate(offs):
+        if off == 0:
+            acc = jax.lax.dot_general(
+                xm, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            acc = jax.lax.dot_general(
+                xm[off:, :], g[:rows - off, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                xh[:off, :], g[rows - off:, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[t * cin_s2d:(t + 1) * cin_s2d, :] += acc
+
+
+def conv1_dw_shifted(x, gout, block_rows=4096, interpret=False):
+    """dL/dw for the 11x11-stride-4 SAME stem conv as nine row-shifted
+    MXU matmuls over position-flattened s2d operands.
+
+    The key identity: in the space-to-depth domain the conv has stride 1,
+    so output position (p, q) of image i pairs with input position
+    (p + ky, q + kx) — and once BOTH operands are flattened per-image to
+    (rows = S, channels) with the SAME spatial extent S = (oh+2)*(ow+2)
+    (the grad zero-padded from (oh, ow) up to it), that pairing is a pure
+    row shift by off = ky*(ow+2) + kx, globally across the whole batch:
+    valid grad rows never shift past their own image because the pad rows
+    at the image tail are zero in G.  Each tap is then
+    X[off : off + K]^T @ G — a (16C, K) x (K, cout) contraction with
+    K = N*S, reading each operand from HBM exactly once (vs the ~9.7 GB
+    patch materialization of conv1_dw_xla, and vs XLA's native
+    conv-transpose lowering measured at 36.5 ms in-step).
+
+    x: (N, H, W, C); gout: (N, OH, OW, cout) grad w.r.t. the conv output
+    (pre-bias).  Returns (11, 11, C, cout) float32, identical to the
+    autodiff gradient of the direct conv (tests/test_pallas_kernels.py)."""
+    n, h, w, c = x.shape
+    oh, ow = gout.shape[1], gout.shape[2]
+    cout = gout.shape[-1]
+    cin_s2d = _C1_BLK * _C1_BLK * c
+    xp = _conv1_s2d_geometry(x, oh, ow)          # (n, oh+2, ow+2, cin)
+    srows = (oh + _C1_TAPS - 1) * (ow + _C1_TAPS - 1)
+    offs = tuple(ky * (ow + _C1_TAPS - 1) + kx
+                 for ky in range(_C1_TAPS) for kx in range(_C1_TAPS))
+    head = -(-max(offs) // 16) * 16      # sublane-aligned head size
+    block_rows = max(block_rows, head)   # a tap never spans >1 block
+    k = n * srows
+    nblk = -(-k // block_rows)
+    kp = nblk * block_rows
+    # contiguous flattens: (n, S, cin) -> (n*S, cin); then pad the row dim
+    # out to kp (+ one extra block so every head gather is in range)
+    xflat = jnp.pad(xp.reshape(k, cin_s2d),
+                    ((0, kp + block_rows - k), (0, 0)))
+    gflat = jnp.pad(gout, ((0, 0), (0, _C1_TAPS - 1), (0, _C1_TAPS - 1),
+                           (0, 0))).astype(xflat.dtype)
+    gflat = jnp.pad(gflat.reshape(k, cout), ((0, kp - k), (0, 0)))
+    # block i's "head": the first ``head`` rows of block i+1, gathered as
+    # a small side array so the kernel's per-tap tail contraction needs no
+    # out-of-block reads (nblk * head * cin entries, ~20 MB at bench size)
+    heads = xflat[block_rows:kp + block_rows] \
+        .reshape(nblk, block_rows, cin_s2d)[:, :head] \
+        .reshape(nblk * head, cin_s2d)
+
+    kernel = functools.partial(_conv1_dw_shift_kernel, offs=offs,
+                               cin_s2d=cin_s2d, rows=block_rows)
+    dw_s2d = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((block_rows, cin_s2d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((head, cin_s2d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, cout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_C1_TAPS * _C1_TAPS * cin_s2d, cout),
+                               lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (_C1_TAPS * _C1_TAPS * cin_s2d, cout), jnp.float32),
+        interpret=interpret,
+    )(xflat[:kp], heads, gflat)
+    return _conv1_dw_s2d_to_hwio(dw_s2d, c, cout)
 
 
 def conv1_dw_xla(x, gout, chunk=256):

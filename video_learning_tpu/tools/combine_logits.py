@@ -1,12 +1,14 @@
-"""Late logit-level ensembling of two validation runs.
+"""Late logit-level ensembling of N validation runs.
 
-Counterpart of /root/reference/combine_logits.py: loads two pickled
+Counterpart of /root/reference/combine_logits.py: loads pickled
 validation-logit matrices plus ``video label`` ground-truth files and
 optional ``classname index`` map files, optionally re-orders logit columns
 to a shared class-index alignment (:131-231), reconciles differing item
-sets by video-id intersection (:248-290), and sweeps the convex weight
-combination w*L1 + (1-w)*L2 over w in {0, 0.1, .., 1}, reporting accuracy
-for each (:297-305).
+sets by video-id intersection (:248-290), and sweeps convex weight
+combinations over the step-0.1 simplex grid, reporting accuracy for each
+(:297-305; the reference loads >=2 logit sets but its sweep is 2-way —
+generalized here to any run count, reproducing the reference table
+exactly for N=2).
 
 Usage:
   python -m video_learning_tpu.tools.combine_logits \\
@@ -71,21 +73,25 @@ def align_to(logits, labels, i2c, align_c2i):
 
 
 def intersect_runs(vids, labels, logits):
-    """Keep only video ids present in both runs, preserving run-1 order
+    """Keep only video ids present in every run, preserving run-1 order
     and checking label agreement (reference :250-285)."""
-    index1 = {v: i for i, v in enumerate(vids[1])}
-    keep0, keep1, common_labels = [], [], []
+    indexes = [{v: i for i, v in enumerate(vs)} for vs in vids[1:]]
+    keeps = [[] for _ in vids]
+    common_labels = []
     for i0, vid in enumerate(vids[0]):
-        i1 = index1.get(vid)
-        if i1 is None:
+        others = [idx.get(vid) for idx in indexes]
+        if any(i is None for i in others):
             continue
-        if labels[0][i0] != labels[1][i1]:
-            error("Video %s has different labels in the two runs: %d vs %d"
-                  % (vid, labels[0][i0], labels[1][i1]))
-        keep0.append(i0)
-        keep1.append(i1)
+        for r, ir in enumerate(others, start=1):
+            if labels[0][i0] != labels[r][ir]:
+                error("Video %s has different labels in runs 1 and %d: "
+                      "%d vs %d" % (vid, r + 1, labels[0][i0],
+                                    labels[r][ir]))
+        keeps[0].append(i0)
+        for r, ir in enumerate(others, start=1):
+            keeps[r].append(ir)
         common_labels.append(labels[0][i0])
-    return ([logits[0][keep0], logits[1][keep1]],
+    return ([lg[k] for lg, k in zip(logits, keeps)],
             np.asarray(common_labels))
 
 
@@ -103,22 +109,40 @@ def accuracy(logits, labels):
     return float(np.mean(np.argmax(logits, 1) == np.asarray(labels)))
 
 
-def weight_sweep(logits_pair, labels, step=0.1):
-    """Convex-combination sweep; returns [(w1, w2, accuracy)]."""
+def _simplex_grid(nruns, n):
+    """All tuples of non-negative ints summing to ``n`` (weight numerators
+    of the step-1/n convex simplex), lexicographic descending so the
+    2-run order matches the reference table (1.0..0.0 for w1)."""
+    if nruns == 1:
+        return [(n,)]
+    out = []
+    for k in range(n, -1, -1):
+        out.extend((k,) + rest for rest in _simplex_grid(nruns - 1, n - k))
+    return out
+
+
+def weight_sweep(logits_list, labels, step=0.1):
+    """Convex-combination sweep over the N-run simplex grid; returns
+    [(w1, .., wN, accuracy)].  For two runs this is the reference's
+    (w, 1-w) table (:297-305); for N>2 it is the full simplex at the
+    same step."""
     results = []
     n = int(round(1 / step))
-    for k in range(n + 1):
-        w = round(k * step, 1)
-        combined = w * logits_pair[0] + (1 - w) * logits_pair[1]
-        results.append((w, round(1 - w, 1), accuracy(combined, labels)))
+    for ks in _simplex_grid(len(logits_list), n):
+        ws = [round(k * step, 10) for k in ks]
+        combined = sum(w * lg for w, lg in zip(ws, logits_list))
+        results.append(tuple(round(w, 1) for w in ws) +
+                       (accuracy(combined, labels),))
     return results
 
 
 def combine(paths, gt_paths, lbl_paths=None, align_path=None,
             compromise=None, limit=None):
     logits = [load_logits(p) for p in paths]
-    if len(logits) != 2:
-        error("Can only combine two runs.")
+    if len(logits) < 2:
+        error("Need at least two runs to combine.")
+    if len(gt_paths) != len(paths):
+        error("Need one ground-truth file per logits file.")
     gts = [load_gt(p) for p in gt_paths]
     vids = [g[0] for g in gts]
     labels = [g[1] for g in gts]
@@ -143,29 +167,32 @@ def combine(paths, gt_paths, lbl_paths=None, align_path=None,
                 dump_dir, "dset_%d_to_align_post.txt" % i), vids[i],
                 labels[i], logits[i], align_i2c)
 
-    for i in range(2):
+    for i in range(len(logits)):
         if len(logits[i]) != len(labels[i]):
             error("Mismatch in logits/labels #%d lengths: %d, %d"
                   % (i + 1, len(logits[i]), len(labels[i])))
         info("Logits #%d accuracy: %.5f"
              % (i + 1, accuracy(logits[i], labels[i])))
 
-    if len(logits[0]) != len(logits[1]):
+    lengths = [len(lg) for lg in logits]
+    if len(set(lengths)) > 1:
         if compromise == "intersect":
             info("Logit length mismatch; keeping only common vid ids")
             logits, final_labels = intersect_runs(vids, labels, logits)
         else:
-            error("Logit length mismatch (%d vs %d) and no compromise "
-                  "selected" % (len(logits[0]), len(logits[1])))
+            error("Logit length mismatch (%s) and no compromise "
+                  "selected" % lengths)
     else:
-        if not np.array_equal(labels[0], labels[1]):
-            error("Inconsistent labels between the two runs.")
+        for lb in labels[1:]:
+            if not np.array_equal(labels[0], lb):
+                error("Inconsistent labels between the runs.")
         final_labels = labels[0]
 
     sweep = weight_sweep(logits, final_labels)
-    info("w1\tw2\tmean acc.")
-    for w1, w2, acc in sweep:
-        info("%.1f\t%.1f\t%.5f" % (w1, w2, acc))
+    info("\t".join("w%d" % (i + 1) for i in range(len(logits))) +
+         "\tmean acc.")
+    for row in sweep:
+        info("\t".join("%.1f" % w for w in row[:-1]) + "\t%.5f" % row[-1])
     return sweep
 
 
