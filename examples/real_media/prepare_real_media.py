@@ -23,6 +23,7 @@ import re
 import sys
 import zipfile
 
+import numpy as np
 import yaml
 
 DEFAULT_MEDIA = "/root/reference/examples/data/videos/videos.zip"
@@ -66,7 +67,25 @@ def write_paths_file(vdir, root):
     return paths_file, len(classes)
 
 
-def write_configs(root, paths_file, num_classes):
+def write_pretrained_npy(root):
+    """Synthesize a bvlc-schema weights file ({layer: [w, b]}) covering
+    the conv stack only — fc6/fc7 are omitted to keep the fixture small
+    (absent layers fall back to fresh init, and fc8 is always fresh;
+    reference alexnet.py:49-51,273-280.  The shape-mismatch fallback is
+    unit-tested in tests/test_models.py::test_alexnet_pretrained_npy_import)."""
+    rng = np.random.RandomState(11)
+    specs = {"conv1": (11, 11, 3, 96), "conv2": (5, 5, 48, 256),
+             "conv3": (3, 3, 256, 384), "conv4": (3, 3, 192, 384),
+             "conv5": (3, 3, 192, 256)}
+    net_data = {name: [rng.randn(*shp).astype(np.float32) * 0.01,
+                       np.full(shp[-1], 0.1, np.float32)]
+                for name, shp in specs.items()}
+    path = os.path.join(root, "pretrained_convs.npy")
+    np.save(path, np.asarray(net_data, dtype=object), allow_pickle=True)
+    return path
+
+
+def write_configs(root, paths_file, num_classes, weights_npy):
     serialize_cfg = {"serialize": {
         "output_folder": None,
         "path_prepend_folder": None,
@@ -113,7 +132,11 @@ def write_configs(root, paths_file, num_classes):
                 {"frames": {
                     "input": "defs.dataset_tag.main",
                     "representation": "defs.representation.dcnn",
-                    "frame_encoding_layer": "fc6"}},
+                    "frame_encoding_layer": "fc6",
+                    # pretrained-import fine-tuning flow (reference
+                    # alexnet.py:49-51): conv stack from a bvlc-schema
+                    # npy, FCs fresh, fc8 at lr*mult via two-tier groups
+                    "weights_file": weights_npy}},
                 {"clf": {
                     "input": "frames",
                     "representation": "defs.representation.nop",
@@ -162,7 +185,8 @@ def main():
     os.makedirs(root, exist_ok=True)
     vdir = extract_media(args.media, root)
     paths_file, num_classes = write_paths_file(vdir, root)
-    write_configs(root, paths_file, num_classes)
+    weights_npy = write_pretrained_npy(root)
+    write_configs(root, paths_file, num_classes, weights_npy)
     print("Prepared %d-class real-media example under %s"
           % (num_classes, root))
     print("Next: bash run_real_media.sh %s" % root)
