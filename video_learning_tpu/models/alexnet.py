@@ -164,7 +164,9 @@ _CONV1_S2D = os.environ.get("VLT_CONV1_S2D", "0") == "1"
 #   "shifted" — Pallas row-shifted-matmul kernel over position-flattened
 #               s2d operands (ops/pallas_kernels.conv1_dw_shifted); reads
 #               each operand once and runs the 9 tap-contractions as
-#               static-slice MXU matmuls.
+#               static-slice MXU matmuls.  Measured 2.6x slower than
+#               XLA's native lowering, which sits exactly at the MXU
+#               pass-count bound for this contraction (BASELINE.md r3).
 #   "im2col"  — chunked explicit-patch + MXU matmul (conv1_dw_xla).
 #               Measured on v5e round 2: 980 clips/s whole-workload vs
 #               1045 for XLA's native lowering (the patch matrix adds

@@ -384,8 +384,16 @@ def conv1_dw_shifted(x, gout, block_rows=4096, interpret=False):
     at the image tail are zero in G.  Each tap is then
     X[off : off + K]^T @ G — a (16C, K) x (K, cout) contraction with
     K = N*S, reading each operand from HBM exactly once (vs the ~9.7 GB
-    patch materialization of conv1_dw_xla, and vs XLA's native
-    conv-transpose lowering measured at 36.5 ms in-step).
+    patch materialization of conv1_dw_xla).
+
+    Measured on v5e (BASELINE.md round-3 table): 9.98 ms at N=256 /
+    block_rows=8192 vs 3.79 ms for XLA's native lowering — the 17
+    dot launches per grid step dominate, and the native lowering is
+    already at the hardware pass-count bound for this contraction's
+    432x96 output (4 MXU m-tiles x K/128 k-steps x 136 ns == the
+    measured native time), so no schedule can beat it.  Kept as a
+    tested opt-in (VLT_CONV1_DW_IMPL=shifted) demonstrating the
+    shape-cast-free kernel structure.
 
     x: (N, H, W, C); gout: (N, OH, OW, cout) grad w.r.t. the conv output
     (pre-bias).  Returns (11, 11, C, cout) float32, identical to the
