@@ -268,3 +268,135 @@ def test_meteor_matches_nltk_exact_plus_stem():
                                       cand.split(), wordnet=_NoWordnet())
         assert ours == pytest.approx(theirs, abs=1e-9), (cand, ours,
                                                          theirs)
+
+
+# ---------------------------------------------------- PTB tokenizer rules
+def test_ptb_tokenizer_rules():
+    """Contractions, quotes, brackets, numbers, possessives — the
+    Stanford-PTBTokenizer string rules the reference's eval chain applies
+    (pycocoevalcap/tokenizer/ptbtokenizer.py)."""
+    from video_learning_tpu.metrics.ptb import coco_tokenize, ptb_tokenize
+
+    assert ptb_tokenize("A man doesn't run, he walks.") == \
+        ["a", "man", "does", "n't", "run", ",", "he", "walks", "."]
+    assert ptb_tokenize('"Hello," she said (loudly)!') == \
+        ["``", "hello", ",", "''", "she", "said", "-LRB-", "loudly",
+         "-RRB-", "!"]
+    # numbers keep internal commas/periods/colons
+    assert ptb_tokenize("at 3:30 it was 1,000 m or 3.5 km") == \
+        ["at", "3:30", "it", "was", "1,000", "m", "or", "3.5", "km"]
+    # clitics and multi-word splits
+    assert ptb_tokenize("I cannot swim; we're gonna try it's fine") == \
+        ["i", "can", "not", "swim", ";", "we", "'re", "gon", "na",
+         "try", "it", "'s", "fine"]
+    # possessives, hyphens survive
+    assert ptb_tokenize("the well-known cat's hat and kids' toys") == \
+        ["the", "well-known", "cat", "'s", "hat", "and", "kids", "'",
+         "toys"]
+    # the COCO evaluator drops its punctuation token list
+    assert coco_tokenize('"Hello," she said -- really...') == \
+        ["hello", "she", "said", "really"]
+    assert coco_tokenize("A man doesn't run, he walks.") == \
+        ["a", "man", "does", "n't", "run", "he", "walks"]
+
+
+def test_ptb_tokenizer_matches_nltk_treebank():
+    """Cross-validate against nltk's TreebankWordTokenizer (the same PTB
+    sed rules, independently implemented; no corpus data needed).
+    Bracket tokens differ by design (we emit the Stanford -LRB- names the
+    COCO punctuation list expects), so they are mapped for comparison."""
+    nltk_tok = pytest.importorskip("nltk.tokenize")
+    from video_learning_tpu.metrics.ptb import ptb_tokenize
+    t = nltk_tok.TreebankWordTokenizer()
+    unmap = {"-LRB-": "(", "-RRB-": ")", "-LSB-": "[", "-RSB-": "]",
+             "-LCB-": "{", "-RCB-": "}"}
+    sentences = [
+        "A man doesn't run, he walks.",
+        '"Hello," she said (loudly)!',
+        "The dog's ball -- it's red... really!",
+        "I cannot swim; we're gonna try it's 3.5 km, 1,000 m.",
+        "the well-known actor 'quoted' this",
+        "kids' toys and the cat's hat",
+        "two dogs don't sit; they'll run!",
+        "she's here, isn't she?",
+        "we've been there and we'd go again",
+        "a {strange} [bracketed] (example)",
+    ]
+    for s in sentences:
+        ours = [unmap.get(w, w) for w in ptb_tokenize(s)]
+        theirs = t.tokenize(s.lower())
+        assert ours == theirs, (s, ours, theirs)
+
+
+# ------------------------------------------------- METEOR synonym stage
+class _OurStemmer:
+    def stem(self, w):
+        from video_learning_tpu.metrics.porter import stem
+        return stem(w)
+
+
+def test_meteor_matches_nltk_full_chain():
+    """EXACT score equality with nltk.translate.meteor_score running the
+    identical stemmer and the bundled synonym table injected as its
+    wordnet — validating the whole matcher chain (exact + stem + synonym
+    + chunk fragmentation) against an independent implementation."""
+    nltk_ms = pytest.importorskip("nltk.translate.meteor_score")
+    from video_learning_tpu.metrics import coco_eval as ce
+    from video_learning_tpu.metrics.synonyms import wordnet_like
+
+    pairs = [
+        ("a big dog runs across the field",
+         ["a large dog sprints across a meadow"]),
+        ("the cat sits on the mat", ["a cat sat upon the mat quietly"]),
+        ("it is a guide to action which ensures that the military "
+         "always obeys the commands of the party",
+         ["it is a guide to action that ensures that the military will "
+          "forever heed party commands"]),
+        ("a man riding a horse",
+         ["a person rides a pony", "a guy on a horse"]),
+        ("completely unrelated words here",
+         ["nothing matches at all today"]),
+        ("children playing with toys", ["kids play with a toy"]),
+        ("a small red car on the street",
+         ["a little crimson automobile on the road"]),
+        ("an old man walks slowly", ["an elderly gentleman strolls"]),
+    ]
+    for cand, refs in pairs:
+        ours = ce.meteor({1: cand.split()},
+                         {1: [r.split() for r in refs]})
+        theirs = nltk_ms.meteor_score(
+            [r.split() for r in refs], cand.split(),
+            stemmer=_OurStemmer(), wordnet=wordnet_like)
+        assert ours == pytest.approx(theirs, abs=1e-12), (cand, ours,
+                                                          theirs)
+
+
+def test_meteor_synonym_stage_scores_synonyms():
+    """Synonym-only paraphrases must outscore unrelated captions and the
+    synonym stage must add over exact+stem alone."""
+    from video_learning_tpu.metrics import coco_eval as ce
+
+    refs = {1: ["a big dog runs fast".split()]}
+    exact = ce.meteor({1: "a big dog runs fast".split()}, refs)
+    synon = ce.meteor({1: "a large hound sprints fast".split()}, refs)
+    none = ce.meteor({1: "purple elephants fly backwards".split()}, refs)
+    assert exact == pytest.approx(0.9999, abs=1e-2)
+    assert synon > 0.5
+    assert none == 0.0
+    # disabling the synonym source isolates the stage's contribution
+    no_syn = ce.meteor({1: "a large hound sprints fast".split()}, refs,
+                       synonyms_fn=lambda w: {w})
+    assert synon > no_syn
+
+
+def test_bundled_synonym_table_shapes():
+    from video_learning_tpu.metrics.synonyms import (synonyms,
+                                                     wordnet_like)
+    assert "large" in synonyms("big")
+    assert "big" in synonyms("large")      # symmetric
+    assert synonyms("qwertyuiop") == {"qwertyuiop"}
+    # the nltk-wordnet duck type
+    syns = wordnet_like.synsets("big")
+    names = {l.name() for s in syns for l in s.lemmas()}
+    assert "huge" in names
+    assert wordnet_like.synsets("qwertyuiop") == []

@@ -11,19 +11,17 @@ gathered non-pad indices.
 
 import os
 
-_PUNCT_TABLE = None
-
 
 def normalize_caption(text):
-    """Canonical caption normalization: lowercase, strip punctuation,
-    whitespace-tokenize (reference process_annotations :74-97).  Shared by
-    the annotation packer and the metric tokenizer so ground truth and
-    evaluation can never normalize differently."""
-    global _PUNCT_TABLE
-    if _PUNCT_TABLE is None:
-        import string
-        _PUNCT_TABLE = str.maketrans("", "", string.punctuation)
-    return str(text).lower().translate(_PUNCT_TABLE).strip().split()
+    """Canonical caption normalization: PTB tokenization rules with the
+    COCO punctuation drop (metrics/ptb.py — the same normalization the
+    reference's evaluation applies through Stanford's PTBTokenizer,
+    pycocoevalcap/tokenizer/ptbtokenizer.py:21-67; the reference's
+    process_annotations :74-97 lowercases/strips on the packing side).
+    Shared by the annotation packer and the metric tokenizer so ground
+    truth and evaluation can never normalize differently."""
+    from video_learning_tpu.metrics.ptb import coco_tokenize
+    return coco_tokenize(text)
 
 
 import numpy as np

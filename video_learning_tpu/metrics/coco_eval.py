@@ -1,4 +1,4 @@
-"""COCO-style caption metrics: BLEU-1..4, ROUGE-L, CIDEr-D, METEOR-lite.
+"""COCO-style caption metrics: BLEU-1..4, ROUGE-L, CIDEr-D, METEOR.
 
 Replaces the reference's vendored python2 ``pycocoevalcap`` +
 Java-subprocess chain (/root/reference/tools/python2_coco_eval/**,
@@ -6,18 +6,20 @@ val.py:248-250; the METEOR and Stanford-CoreNLP jars are absent from the
 reference repo anyway, `.MISSING_LARGE_BLOBS`) with a dependency-free
 python3 implementation:
 
-* tokenizer    — lowercase + punctuation strip, the same normalization the
-  annotation pipeline applies (PTBTokenizer's dominant effect; no JVM),
+* tokenizer    — the PTB tokenization rules + COCO punctuation drop
+  (metrics/ptb.py; the string rules of the Stanford PTBTokenizer the
+  reference shells out to, with no JVM),
 * BLEU-n       — corpus-level, clipped n-gram precision with the 'closest'
   reference length brevity penalty (pycocoevalcap/bleu semantics),
 * ROUGE-L      — LCS-based F with beta=1.2, max over references, mean over
   images (pycocoevalcap/rouge semantics),
 * CIDEr-D      — tf-idf n-gram cosine (n=1..4) with length gaussian
   (sigma=6) and count clipping, x10 (pycocoevalcap/ciderD semantics),
-* METEOR-lite  — exact-match harmonic mean with fragmentation penalty
-  (alpha=0.9 variant: F=10PR/(R+9P), penalty=0.5*(chunks/matches)^3).
-  Stemming/synonym/paraphrase stages of full METEOR require the absent
-  Java+data assets and are documented as out of scope.
+* METEOR       — the exact + Porter-stem + synonym matcher chain
+  (classic parameters alpha=0.9/beta=3/gamma=0.5; synonyms from the
+  bundled table in metrics/synonyms.py, score-identical to
+  nltk.translate.meteor_score on the same synonymy).  The jar's fourth,
+  paraphrase-table stage has no shipped data upstream.
 
 CLI (mirrors reference coco_eval.py): writes ``<results>.eval.json``:
   python -m video_learning_tpu.metrics.coco_eval results.json gt.json
@@ -162,73 +164,103 @@ def cider_d(candidates, references, max_n=4, sigma=6.0):
 
 
 # ----------------------------------------------------------------- METEOR
-def _meteor_align(cand, ref):
-    """Two-stage greedy alignment: exact word matches first, then
-    Porter-stem matches over the words both sides left unmatched
-    (the METEOR 1.5 matcher's first two modules; the jar additionally
-    runs WordNet-synonym and paraphrase-table stages,
-    /root/reference/tools/python2_coco_eval/pycocoevalcap/meteor/meteor.py:80).
+def _meteor_match_surface(enum_hyp, enum_ref):
+    """One surface-form matching pass: reverse hypothesis scan, each word
+    matched to the highest still-unused reference position of the same
+    surface form — the exact matching order of nltk's
+    translate.meteor_score (and of the METEOR matcher it implements), so
+    the two implementations produce identical alignments and the nltk
+    oracle test can assert equality, not approximation."""
+    ref_positions = defaultdict(list)
+    for j, (_, w) in enumerate(enum_ref):
+        ref_positions[w].append(j)
+    matches, mh, mr = [], set(), set()
+    for i in range(len(enum_hyp))[::-1]:
+        positions = ref_positions.get(enum_hyp[i][1])
+        if positions:
+            j = positions.pop()
+            mh.add(i)
+            mr.add(j)
+            matches.append((enum_hyp[i][0], enum_ref[j][0]))
+    rem_h = [p for i, p in enumerate(enum_hyp) if i not in mh]
+    rem_r = [p for j, p in enumerate(enum_ref) if j not in mr]
+    return matches, rem_h, rem_r
 
-    Returns (m_exact, m_stem, chunks) where chunks counts maximal runs of
-    contiguous-in-both alignment pairs, over the union alignment."""
+
+def _meteor_match_synonyms(enum_hyp, enum_ref, synonyms_fn):
+    """Synonym stage: a hypothesis word matches the highest still-unused
+    reference position carrying ANY of its synonym candidates (nltk's
+    _enum_wordnetsyn_match semantics, with the synonym source pluggable —
+    the bundled table by default, a real WordNet reader when present)."""
+    ref_positions = defaultdict(list)
+    for j, (_, w) in enumerate(enum_ref):
+        ref_positions[w].append(j)
+    matches, mh, mr = [], set(), set()
+    for i in range(len(enum_hyp))[::-1]:
+        best_j, best_w = -1, None
+        for s in synonyms_fn(enum_hyp[i][1]):
+            positions = ref_positions.get(s)
+            if positions and positions[-1] > best_j:
+                best_j, best_w = positions[-1], s
+        if best_w is not None:
+            ref_positions[best_w].pop()
+            mh.add(i)
+            mr.add(best_j)
+            matches.append((enum_hyp[i][0], enum_ref[best_j][0]))
+    rem_h = [p for i, p in enumerate(enum_hyp) if i not in mh]
+    rem_r = [p for j, p in enumerate(enum_ref) if j not in mr]
+    return matches, rem_h, rem_r
+
+
+def _meteor_align(cand, ref, synonyms_fn=None):
+    """Three-stage METEOR alignment — exact, Porter-stem, synonym —
+    mirroring the METEOR matcher module order (reference
+    pycocoevalcap/meteor/meteor.py:80; the jar's fourth, paraphrase-table
+    stage has no shipped data upstream).  Returns (matches, chunks)."""
     from video_learning_tpu.metrics.porter import stem
 
-    ref_positions = defaultdict(list)
-    for j, w in enumerate(ref):
-        ref_positions[w].append(j)
-    used = set()
-    alignment = {}
-    for i, w in enumerate(cand):
-        for j in ref_positions.get(w, ()):
-            if j not in used:
-                used.add(j)
-                alignment[i] = j
-                break
-    m_exact = len(alignment)
-
-    stem_positions = defaultdict(list)
-    for j, w in enumerate(ref):
-        if j not in used:
-            stem_positions[stem(w)].append(j)
-    for i, w in enumerate(cand):
-        if i in alignment:
-            continue
-        for j in stem_positions.get(stem(w), ()):
-            if j not in used:
-                used.add(j)
-                alignment[i] = j
-                break
-    m_stem = len(alignment) - m_exact
-
-    if not alignment:
-        return 0, 0, 0
-    pairs = sorted(alignment.items())
+    if synonyms_fn is None:
+        from video_learning_tpu.metrics.synonyms import synonyms
+        synonyms_fn = synonyms
+    enum_hyp = list(enumerate(cand))
+    enum_ref = list(enumerate(ref))
+    exact, enum_hyp, enum_ref = _meteor_match_surface(enum_hyp, enum_ref)
+    stems, sh, sr = _meteor_match_surface(
+        [(i, stem(w)) for i, w in enum_hyp],
+        [(j, stem(w)) for j, w in enum_ref])
+    # nltk's stem stage hands its STEMMED leftovers to the synonym stage
+    # (quirk preserved for exact oracle equality) — synonym lookups run
+    # on stems, which the bundled table covers via its base forms
+    syns, _, _ = _meteor_match_synonyms(sh, sr, synonyms_fn)
+    matches = sorted(exact + stems + syns)
+    if not matches:
+        return [], 0
     chunks = 1
-    for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
+    for (i0, j0), (i1, j1) in zip(matches, matches[1:]):
         if i1 != i0 + 1 or j1 != j0 + 1:
             chunks += 1
-    return m_exact, m_stem, chunks
+    return matches, chunks
 
 
 # Classic METEOR parameters (Banerjee & Lavie 2005; NLTK defaults):
 # fmean weight alpha, penalty exponent beta, penalty weight gamma.  The
-# reference's jar (METEOR 1.5) additionally runs WordNet-synonym and
-# paraphrase-table modules whose data upstream no longer ships
-# (.MISSING_LARGE_BLOBS); captions matched only through synonyms
-# therefore still score below the full jar.  Exact+stem behavior is
-# cross-validated against nltk.translate.meteor_score in
-# tests/test_captions_metrics.py.
+# full matcher chain (exact + stem + synonym) and these parameters are
+# cross-validated for EXACT score equality against
+# nltk.translate.meteor_score (with the bundled synonym table injected as
+# its wordnet) in tests/test_captions_metrics.py.  The reference's jar
+# (METEOR 1.5) additionally runs a paraphrase-table module whose data
+# upstream no longer ships (.MISSING_LARGE_BLOBS).
 _METEOR_ALPHA, _METEOR_BETA, _METEOR_GAMMA = 0.9, 3.0, 0.5
 
 
-def meteor_lite(candidates, references):
+def meteor(candidates, references, synonyms_fn=None):
     scores = []
     for iid, cand in candidates.items():
         best = 0.0
         for ref in references[iid]:
-            m_exact, m_stem, chunks = _meteor_align(cand, ref)
-            m = m_exact + m_stem
-            if m == 0:
+            matches, chunks = _meteor_align(cand, ref, synonyms_fn)
+            m = len(matches)
+            if m == 0 or not cand or not ref:
                 continue
             p = m / len(cand)
             r = m / len(ref)
@@ -239,6 +271,11 @@ def meteor_lite(candidates, references):
             best = max(best, fmean * (1.0 - penalty))
         scores.append(best)
     return sum(scores) / max(len(scores), 1)
+
+
+# backward-compatible name (round-2 API; the matcher now runs the full
+# exact+stem+synonym chain rather than the -lite two stages)
+meteor_lite = meteor
 
 
 # ------------------------------------------------------------------ driver
@@ -276,7 +313,7 @@ def evaluate_captions(results_file, gt_file):
     out = {"Bleu_%d" % (i + 1): s for i, s in enumerate(bleu_scores)}
     out["ROUGE_L"] = rouge_l(cands, refs)
     out["CIDEr"] = cider_d(cands, refs)
-    out["METEOR"] = meteor_lite(cands, refs)
+    out["METEOR"] = meteor(cands, refs)
     return out
 
 
