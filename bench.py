@@ -197,7 +197,7 @@ def run_e2e(args):
                  defs.dataset_tag.main),
                 ("labels", defs.net_input.labels, defs.dataset_tag.main)]
 
-    def host_epoch_rate():
+    def host_epoch_rate(beat):
         feeder, dset = make_feeder()
         rates = []
         for epoch in range(3):  # epoch 0 warms the page cache
@@ -207,6 +207,8 @@ def run_e2e(args):
             for feed, batches, bidx in FeedPrefetcher(feeder, required,
                                                       depth=2):
                 frames += feed["frames_main_input"].shape[0]
+                beat()  # per-batch heartbeat: a slow (disk-bound) host
+                        # epoch is progress, not a tunnel stall
             dt = time.time() - tic
             rates.append(frames / fpc / dt)
         return float(np.median(rates[1:]))
@@ -214,7 +216,7 @@ def run_e2e(args):
     # same mid-run stall protection as the default benchmark path: a
     # tunnelled-TPU RPC hang must abort, not block the harness forever
     beat = _start_stall_watchdog()
-    host_cps = host_epoch_rate()
+    host_cps = host_epoch_rate(beat)
     beat()
     sys.stderr.write("host input pipeline: %.1f clips/s\n" % host_cps)
 

@@ -210,3 +210,59 @@ def test_dataset_shuffled_epoch_keeps_native_reader(tmp_path, lib):
                               np.asarray(bp.labels))
     # the gather path must actually have been used, not fallen back
     assert d_native.native_reader is not None
+
+
+def test_read_buffer_ring_reuse(tmp_path, monkeypatch):
+    """The dataset's gather-read buffer ring (VLT_REUSE_READ_BUFFERS)
+    must return correct content and actually cycle its buffers."""
+    import numpy as np
+    from video_learning_tpu.data import records
+    from video_learning_tpu.data.dataset import Dataset
+    from video_learning_tpu.defs import defs
+
+    path = str(tmp_path / "d.tfrecord")
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (8, 10, 3), np.uint8) for _ in range(24)]
+    with records.RecordWriter(path) as w:
+        for i, fr in enumerate(frames):
+            w.write(records.encode_image_example(fr, i % 3))
+    records.write_size_file(24, None, path, "image", 1, None)
+    base = str(tmp_path / "d")
+    open(base, "w").write(
+        "".join("img%d.jpg %d\n" % (i, i % 3) for i in range(24)))
+
+    monkeypatch.setenv("VLT_REUSE_READ_BUFFERS", "1")
+    d = Dataset()
+    d.initialize("x", base, None, None, None, [], (8, 10, 3),
+                 defs.data_format.tfrecord, "jpg",
+                 defs.batch_item.default, 3, defs.dataset_tag.main, 1)
+    d.device_preprocess = True
+    d.calculate_batches(4, defs.input_mode.image)
+    if d.native_reader is None:
+        pytest.skip("native reader unavailable")
+
+    ids, seen = [], []
+    for b in range(6):
+        batch = d.get_next_batch()
+        ids.append(id(batch.visual))
+        # content correct at the time of consumption
+        for k in range(4):
+            assert np.array_equal(batch.visual[k], frames[b * 4 + k])
+        seen.append(np.array(batch.visual, copy=True))
+    # ring of 4: batch 4 reuses batch 0's buffer, batch 5 reuses 1's
+    assert ids[4] == ids[0] and ids[5] == ids[1]
+    assert len(set(ids[:4])) == 4
+    # and the copies taken during consumption stay correct
+    for b, arr in enumerate(seen):
+        for k in range(4):
+            assert np.array_equal(arr[k], frames[b * 4 + k])
+
+
+def test_read_buffer_ring_disabled_on_cpu_default(tmp_path, monkeypatch):
+    """With the default 'auto' policy the CPU backend must NOT reuse
+    buffers (the CPU PJRT client can alias numpy feeds)."""
+    from video_learning_tpu.data.dataset import Dataset
+    monkeypatch.delenv("VLT_REUSE_READ_BUFFERS", raising=False)
+    d = Dataset.__new__(Dataset)
+    d._native_shape = (8, 10, 3)
+    assert d._read_buffers(4, 64) is None  # tests force the CPU platform

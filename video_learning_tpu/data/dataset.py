@@ -303,6 +303,45 @@ class Dataset:
         except Exception as ex:
             debug("Native reader unavailable for [%s]: %s" % (self.id, ex))
 
+    # ring of reusable read buffers (device_preprocess hot path): deep
+    # enough that a batch is long consumed — prefetch depth is 2 and the
+    # training step copies the feed to the device — before its buffer
+    # comes around again.  Reuse skips the page-fault cost of a fresh
+    # 100s-of-MB allocation per batch (measured 1.7x on the bench gather).
+    # Default: enabled on accelerator backends only — the CPU PJRT client
+    # can zero-copy ALIAS an aligned numpy feed into a jax.Array, and an
+    # aliased buffer must never be rewritten.  VLT_REUSE_READ_BUFFERS=1/0
+    # forces either way.
+    _BUF_RING = 4
+
+    @staticmethod
+    def _reuse_buffers_default():
+        try:
+            import jax
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return False
+
+    def _read_buffers(self, count, max_labels):
+        flag = os.environ.get("VLT_REUSE_READ_BUFFERS", "auto")
+        if flag == "0":
+            return None
+        if flag != "1" and not self._reuse_buffers_default():
+            return None
+        h, w, d = self._native_shape
+        key = (count, h, w, d, max_labels)
+        pool = getattr(self, "_buf_pool", None)
+        if pool is None or pool[0] != key:
+            ring = [(np.empty((count, h, w, d), np.uint8),
+                     np.empty((count, max_labels), np.int32),
+                     np.empty((count,), np.int32))
+                    for _ in range(self._BUF_RING)]
+            pool = [key, ring, 0]
+            self._buf_pool = pool
+        buffers = pool[1][pool[2]]
+        pool[2] = (pool[2] + 1) % self._BUF_RING
+        return buffers
+
     def _read_frames_native(self, count):
         if self.index_map is not None:
             # shuffled epoch: gather-read at the permuted record indices
@@ -313,11 +352,13 @@ class Dataset:
                                self.record_cursor + count],
                 dtype=np.int64) + self._shard_record_offset
             pixels, labels, nlab = self.native_reader.read_images_at(
-                idx, self._native_shape, max_labels=64)
+                idx, self._native_shape, max_labels=64,
+                out=self._read_buffers(count, 64))
         else:
             pixels, labels, nlab = self.native_reader.read_images(
                 self._shard_record_offset + self.record_cursor, count,
-                self._native_shape, max_labels=64)
+                self._native_shape, max_labels=64,
+                out=self._read_buffers(count, 64))
         self.record_cursor += count
         # the decoded block is already one contiguous (count,h,w,d) array;
         # hand it through as-is so _process_images avoids a re-stack copy
@@ -393,7 +434,7 @@ class Dataset:
         if self.device_preprocess:
             params = self.processor.draw_params(len(images), self.rng)
             return stack(images), params
-        out = [self.processor.process(im, self.rng) for im in images]
+        out = self.processor.process_batch(images, self.rng)
         return np.stack(out).astype(np.float32), None
 
     # --------------------------------------------------------- batch makers
