@@ -121,8 +121,11 @@ class ImageProcessor:
         # whole batch (the per-image python loop measured 85 ms of the
         # 770 ms bench epoch on the 1-core host); host and device paths
         # both consume THIS function (process() routes through it), so
-        # they see identical parameters from a shared rng by construction
-        rs = np.random.RandomState(rng.getrandbits(32))
+        # they see identical parameters from a shared rng by construction.
+        # Fully deterministic configs (center_crop, no mirror) consume no
+        # randomness at all.
+        rs = (np.random.RandomState(rng.getrandbits(32))
+              if (rand_crop or rand_mirror) else None)
         if rand_crop:
             params[:, 0] = rs.choice(np.asarray(self.crop_h), n)
             params[:, 1] = rs.choice(np.asarray(self.crop_w), n)
