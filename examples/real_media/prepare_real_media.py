@@ -74,6 +74,10 @@ def write_pretrained_npy(root):
     reference alexnet.py:49-51,273-280.  The shape-mismatch fallback is
     unit-tested in tests/test_models.py::test_alexnet_pretrained_npy_import)."""
     rng = np.random.RandomState(11)
+    # bvlc AlexNet conv shapes, spelled out rather than imported from
+    # video_learning_tpu.models.alexnet._CONV_SPECS so the prepare step
+    # stays a dependency-light script (no jax import); the import-side
+    # test derives its fixture from _CONV_SPECS and catches drift
     specs = {"conv1": (11, 11, 3, 96), "conv2": (5, 5, 48, 256),
              "conv3": (3, 3, 256, 384), "conv4": (3, 3, 192, 384),
              "conv5": (3, 3, 192, 256)}

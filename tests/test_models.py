@@ -310,9 +310,9 @@ def test_alexnet_pretrained_npy_import(tmp_path):
     from video_learning_tpu.models import alexnet
 
     rng = np.random.RandomState(0)
-    specs = {"conv1": (11, 11, 3, 96), "conv2": (5, 5, 48, 256),
-             "conv3": (3, 3, 256, 384), "conv4": (3, 3, 192, 384),
-             "conv5": (3, 3, 192, 256)}
+    # shapes derived from the model's own spec table so the fixture can
+    # never go stale against it
+    specs = {name: spec[:4] for name, spec in alexnet._CONV_SPECS.items()}
     net_data = {name: [rng.randn(*shp).astype(np.float32) * 0.05,
                        rng.randn(shp[-1]).astype(np.float32) * 0.1]
                 for name, shp in specs.items()}

@@ -19,7 +19,13 @@ def normalize_caption(text):
     pycocoevalcap/tokenizer/ptbtokenizer.py:21-67; the reference's
     process_annotations :74-97 lowercases/strips on the packing side).
     Shared by the annotation packer and the metric tokenizer so ground
-    truth and evaluation can never normalize differently."""
+    truth and evaluation can never normalize differently.
+
+    MIGRATION: before round 3 this stripped punctuation in place
+    ("don't" -> "dont"); the PTB rules split clitics instead ("do",
+    "n't").  Vocabularies/annotations packed by the old normalizer should
+    be regenerated (tools/process_annotations) — mixed-era vocab + eval
+    silently maps mismatched tokens to UNK."""
     from video_learning_tpu.metrics.ptb import coco_tokenize
     return coco_tokenize(text)
 

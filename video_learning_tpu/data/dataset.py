@@ -330,16 +330,22 @@ class Dataset:
             return None
         h, w, d = self._native_shape
         key = (count, h, w, d, max_labels)
-        pool = getattr(self, "_buf_pool", None)
-        if pool is None or pool[0] != key:
+        pools = getattr(self, "_buf_pools", None)
+        if pools is None:
+            pools = self._buf_pools = {}
+        pool = pools.get(key)
+        if pool is None:
+            # one ring per batch geometry: variable-cpv datasets and epoch
+            # tail batches cycle between a few sizes — each keeps its own
+            # ring instead of thrashing a single one (reallocation was the
+            # cost this pool exists to remove)
             ring = [(np.empty((count, h, w, d), np.uint8),
                      np.empty((count, max_labels), np.int32),
                      np.empty((count,), np.int32))
                     for _ in range(self._BUF_RING)]
-            pool = [key, ring, 0]
-            self._buf_pool = pool
-        buffers = pool[1][pool[2]]
-        pool[2] = (pool[2] + 1) % self._BUF_RING
+            pool = pools[key] = [ring, 0]
+        buffers = pool[0][pool[1]]
+        pool[1] = (pool[1] + 1) % self._BUF_RING
         return buffers
 
     def _read_frames_native(self, count):

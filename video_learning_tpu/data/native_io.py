@@ -132,7 +132,8 @@ class NativeReader:
                     labels.dtype != np.int32 or \
                     not labels.flags.c_contiguous:
                 raise ValueError("bad labels buffer for reuse")
-            if nlab.shape != (count,) or nlab.dtype != np.int32:
+            if nlab.shape != (count,) or nlab.dtype != np.int32 or \
+                    not nlab.flags.c_contiguous:
                 raise ValueError("bad nlab buffer for reuse")
             return pixels, labels, nlab
         return (np.empty((count, h, w, d), np.uint8),

@@ -179,6 +179,10 @@ if not _CONV1_DW_IMPL and os.environ.get(
         "VLT_CONV1_FAST_DW", os.environ.get("VLT_CONV1_PALLAS_DW",
                                             "0")) == "1":
     _CONV1_DW_IMPL = "im2col"
+if _CONV1_DW_IMPL not in ("", "im2col", "shifted"):
+    # a typo must not silently A/B the default against itself
+    raise ValueError("VLT_CONV1_DW_IMPL must be 'im2col' or 'shifted', "
+                     "got %r" % _CONV1_DW_IMPL)
 _CONV1_PALLAS_DW = _CONV1_DW_IMPL in ("im2col", "shifted")
 
 

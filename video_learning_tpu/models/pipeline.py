@@ -358,8 +358,14 @@ class Model:
                     inputs[1], dims[1], cpvs[0], cpvs[1])
                 init_state = convert_dim_fc_apply(p.get("input_state_fc"),
                                                   state)
-            seq_out, states = vectorizer.LSTM(
-                num_hidden, num_layers, output_fpc).apply(
+            # one LSTM strategy object per spec (trace-time only, but no
+            # point rebuilding it every apply)
+            vec_l = spec.get("clf_lstm")
+            if vec_l is None or vec_l.sequence_len != output_fpc:
+                vec_l = vectorizer.LSTM(num_hidden, num_layers,
+                                        output_fpc)
+                spec["clf_lstm"] = vec_l
+            seq_out, states = vec_l.apply(
                 p["lstm"], x, compute_dtype=self.compute_dtype,
                 init_state=init_state)
             if lstm_fusion == defs.fusion_method.state:

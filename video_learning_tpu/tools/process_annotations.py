@@ -67,9 +67,12 @@ def read_replacements(vocab_replacement_file):
 
 
 def preprocess_captions(imgs_json, vocab_replacement_file=None):
-    """Lowercase, strip punctuation, tokenize; apply replacements
-    (reference :74-97)."""
+    """PTB-tokenize (lowercase, clitic splits, punctuation drop); apply
+    replacements (reference :74-97)."""
     from video_learning_tpu.data.captions import normalize_caption
+    info("Tokenizer: PTB rules + COCO punctuation drop (round-3 format; "
+         "vocabularies built with the pre-PTB normalizer should be "
+         "regenerated — see data/captions.normalize_caption)")
     replacements = (read_replacements(vocab_replacement_file)
                     if vocab_replacement_file else None)
     for img in imgs_json:
