@@ -1,0 +1,168 @@
+"""End-to-end tests for the serving CLI (tools/infer.py): raw media in,
+top-k classes / captions out, through the production pack -> feed ->
+restore -> forward chain."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from video_learning_tpu import run_task
+from video_learning_tpu.tools import infer as infer_mod
+
+
+@pytest.fixture(scope="module")
+def trained_video_run(tmp_path_factory):
+    """Pack the tiny video tree, train 2 epochs, return (config, media)."""
+    from PIL import Image
+
+    from tests.conftest import make_image
+    from tests.test_train_e2e import _pack, _run_config
+
+    tmp_path = tmp_path_factory.mktemp("inferfix")
+    vids = []
+    for v, nframes in enumerate([10, 12, 20]):
+        vdir = tmp_path / ("vid%d" % v)
+        vdir.mkdir()
+        for i in range(nframes):
+            Image.fromarray(make_image(48, 64, seed=v * 100 + i)).save(
+                vdir / ("f_%04d.jpg" % i), quality=95)
+        vids.append(str(vdir))
+    tree = tmp_path / "videos.train"
+    tree.write_text("\n".join("%s %d" % (v, i)
+                              for i, v in enumerate(vids)) + "\n")
+    _pack(tmp_path, tree)
+    cfg, run_folder = _run_config(tmp_path, tree, "train", epochs=2)
+    run_task.main(str(cfg))
+    assert (run_folder / "checkpoints").exists()
+    return tmp_path, cfg, vids
+
+
+def test_infer_video_folders(trained_video_run):
+    tmp_path, cfg, vids = trained_video_run
+    out = tmp_path / "results.json"
+    classes = tmp_path / "classes.txt"
+    classes.write_text("alpha 0\nbeta 1\ngamma 2\n")
+    results = infer_mod.main([
+        str(cfg), "--media", *vids, "--checkpoint", "latest",
+        "--topk", "2", "--classes", str(classes), "--out", str(out),
+        "--workdir", str(tmp_path / "iw")])
+    assert len(results) == 3
+    for r, v in zip(results, vids):
+        assert r["media"] == v
+        assert len(r["topk"]) == 2
+        names = [c for c, _ in r["topk"]]
+        assert set(names) <= {"alpha", "beta", "gamma"}
+        probs = [p for _, p in r["topk"]]
+        assert all(0.0 <= p <= 1.0 for p in probs)
+        assert probs == sorted(probs, reverse=True)
+    # JSON artifact mirrors the return value
+    assert json.load(open(out)) == results
+    # the temp packing stayed in --workdir
+    assert os.path.exists(tmp_path / "iw" / "media.infer.tfrecord")
+
+
+def test_infer_image_files_fresh_params(tmp_path):
+    """Image media + --checkpoint none (smoke mode): structure only, no
+    training required.  Also exercises the iterative single-frame pack."""
+    from PIL import Image
+
+    from tests.conftest import make_image
+    media = []
+    for i in range(3):
+        p = tmp_path / ("im%d.jpg" % i)
+        Image.fromarray(make_image(112, 112, seed=i)).save(p, quality=95)
+        media.append(str(p))
+    paths = tmp_path / "imgs.train"
+    paths.write_text("".join("%s %d\n" % (m, i)
+                             for i, m in enumerate(media)))
+    run_folder = tmp_path / "run"
+    cfg = {"run": {
+        "resume_file": None,
+        "run_folder": str(run_folder),
+        "run_id": "imginfer",
+        "seed": 0,
+        "mesh_shape": {"data": 1},
+        "compute_dtype": "float32",
+        "phase": "defs.phase.val",
+        "data": {"imgs": {
+            "data_path": str(paths),
+            "raw_image_shape": "(112, 112, 3)",
+            "image_shape": "(96, 96, 3)",
+            "mean_image": [99.0, 99.0, 99.0],
+            "data_format": "defs.data_format.tfrecord",
+            "frame_format": "jpg",
+            "imgproc": ["defs.imgproc.rand_crop",
+                        "defs.imgproc.rand_mirror",
+                        "defs.imgproc.sub_mean"],
+            "batch_item": "defs.batch_item.default",
+            "phase": "defs.phase.val",
+            "tag": "defs.dataset_tag.main"}},
+        "network": {
+            "num_classes": 4,
+            "pipelines": [
+                {"frames": {
+                    "input": "defs.dataset_tag.main",
+                    "representation": "defs.representation.dcnn",
+                    "frame_encoding_layer": "fc6"}},
+                {"clf": {
+                    "input": "frames",
+                    "representation": "defs.representation.fc",
+                    "fc_output_dim": 8,
+                    "classifier": "defs.classifier.fc"}}]},
+        "train": {"batch_size": 2, "epochs": 1,
+                  "optimizer": "defs.optim.sgd", "base_lr": 0.01,
+                  "lr_mult": None, "lr_decay": None, "clip_norm": None,
+                  "dropout_keep_prob": 1.0},
+        "val": {"batch_size": 2, "logits_save_interval": -1,
+                "clip_fusion": "[defs.fusion_type.late, "
+                               "defs.fusion_method.avg]"},
+        "logging": {"save_freq_per_epoch": 1, "level": "logging.INFO",
+                    "print_tensors": False, "tensorboard_folder": "tb",
+                    "email_notify": None},
+    }}
+    cfg_path = tmp_path / "run.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    results = infer_mod.infer(str(cfg_path), media, checkpoint="none",
+                              topk=4)
+    assert len(results) == 3
+    for r in results:
+        # full softmax over 4 classes sums to 1
+        assert np.isclose(sum(p for _, p in r["topk"]), 1.0, atol=1e-5)
+        assert all(isinstance(c, int) for c, _ in r["topk"])
+
+
+def test_infer_rejects_mixed_media(tmp_path, tiny_image_tree):
+    from video_learning_tpu.utils import FrameworkError
+    img = tiny_image_tree.read_text().split()[0]
+    with pytest.raises(FrameworkError):
+        infer_mod._media_kind([img, str(tmp_path)])
+
+
+from tests.test_caption_e2e import caption_fixture  # noqa: F401,E402
+
+
+def test_infer_captioning(caption_fixture, tmp_path):  # noqa: F811
+    """Caption serving: train briefly, then caption raw image files via
+    the CLI (decode length carried over from the training .size)."""
+    import shutil
+
+    from tests.test_caption_e2e import _cfg
+    fix_path, paths_file, emb_path, gt_path, vocab = caption_fixture
+    run_folder = fix_path / "run"
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+    cfg = _cfg(fix_path, paths_file, emb_path, gt_path, "train")
+    run_task.main(str(cfg))
+
+    media = sorted(str(p) for p in (fix_path / "imgs").glob("*.jpg"))[:2]
+    results = infer_mod.infer(str(cfg), media, checkpoint="latest",
+                              workdir=str(tmp_path / "cw"))
+    assert len(results) == 2
+    for r, m in zip(results, media):
+        assert r["media"] == m
+        assert isinstance(r["caption"], str)
+        for w in r["caption"].split():
+            assert w in vocab

@@ -73,6 +73,7 @@ class CaptionOpts:
     eval_type = defs.eval_type.coco
     caption_ground_truth = None
     word_embeddings_file = None
+    caption_max_length = None
     beam_width = 4
     length_norm = 0.0
 
@@ -346,6 +347,8 @@ class Settings:
             co.word_embeddings_file = cap.get("word_embeddings_file")
             co.beam_width = int(cap.get("beam_width", 4))
             co.length_norm = float(cap.get("length_norm", 0.0))
+            cml = cap.get("caption_max_length")
+            co.caption_max_length = None if cml is None else int(cml)
             if co.length_norm < 0:
                 error("captioning.length_norm must be >= 0 (got %s)"
                       % co.length_norm)
@@ -471,6 +474,15 @@ class Settings:
                         d, emb_file,
                         include_labels=(phase == defs.phase.train),
                         do_padding=True)
+                    if self.captioning is not None and \
+                            self.captioning.caption_max_length:
+                        # config cap on decoded/padded caption length
+                        # (reference config.example.yml:135
+                        # caption_max_length; data with longer captions
+                        # still errors in get_input_data_count)
+                        d.max_caption_length = \
+                            self.captioning.caption_max_length
+                        d.max_sequence_length = d.max_caption_length + 1
                     info("Attached captioning to dataset [%s] (V=%d)"
                          % (d.id, len(d.vocabulary)))
 
