@@ -101,3 +101,32 @@ def test_dryrun_multichip_entry():
     """The graft dryrun contract on the virtual mesh."""
     import __graft_entry__ as graft
     graft.dryrun_multichip(8)
+
+
+def test_validation_forward_dp_tp_matches_single():
+    """The Validation engine's forward must produce identical logits on a
+    dp=4 x tp=2 mesh and on a 1-device mesh (eval scales over the same
+    mesh as training; parallel/mesh.shard_feed + shard_params)."""
+    import __graft_entry__ as graft
+    from video_learning_tpu.val import Validation
+
+    def run(mesh_shape):
+        from video_learning_tpu.config import ValOpts
+        settings, model = graft._flagship()
+        settings.compute_dtype = "float32"
+        settings.mesh_shape = mesh_shape
+        settings.val = ValOpts()
+        val = Validation(settings, model)
+        params = model.init_params(jax.random.PRNGKey(0))
+        n = 8 * 4  # 8 clips x 4 fpc -> divisible by the 4-wide data axis
+        rng = np.random.RandomState(0)
+        feed = {"frames_main_input":
+                rng.randn(n, 67, 67, 3).astype(np.float32),
+                "labels": np.eye(16, dtype=np.int32)[np.arange(8) % 16]}
+        return val.run_forward(params, feed)
+
+    single = run({"data": 1, "model": 1})
+    sharded = run({"data": 4, "model": 2})
+    assert single.shape == sharded.shape
+    assert np.allclose(single, sharded, atol=2e-4), \
+        np.abs(single - sharded).max()

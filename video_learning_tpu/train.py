@@ -320,37 +320,7 @@ class Train:
         return out
 
     def _shard_feed(self, feed):
-        data_size = self.mesh.shape[mesh_mod.DATA_AXIS]
-        procs = jax.process_count()
-        out = {}
-        for k, v in feed.items():
-            # divisibility is judged on the GLOBAL batch (local rows x
-            # processes), not the local rows: with 4 hosts on a 16-wide
-            # data axis each host holds data_size/procs rows per shard
-            if getattr(v, "ndim", 0) >= 1 and \
-                    (v.shape[0] * procs) % data_size == 0:
-                if procs > 1:
-                    # assemble per-process local batches into one global
-                    # array: plain device_put would treat each host's
-                    # (different) local batch as the same global array and
-                    # silently drop most rows
-                    out[k] = jax.make_array_from_process_local_data(
-                        self.data_sharding, np.asarray(v))
-                else:
-                    out[k] = jax.device_put(v, self.data_sharding)
-            elif procs > 1 and getattr(v, "ndim", 0) >= 1:
-                # a host-local numpy array reaching the SPMD step in a
-                # multi-controller run would be treated as replicated even
-                # though each host holds different rows — silent cross-host
-                # divergence.  Fail loudly instead.
-                error("Feed array [%s] global batch %d (local %d x %d "
-                      "procs) is not divisible by the data-axis size %d; "
-                      "pad the batch or resize the mesh"
-                      % (k, v.shape[0] * procs, v.shape[0], procs,
-                         data_size))
-            else:
-                out[k] = v
-        return out
+        return mesh_mod.shard_feed(feed, self.mesh, self.data_sharding)
 
     # ------------------------------------------------------------ public
     def prepare_device_feed(self, feed):

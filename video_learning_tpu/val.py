@@ -50,6 +50,15 @@ class Validation:
         self._forward = None
         self._decode = None
         self._preprocessors = {}
+        # evaluation scales over the same device mesh as training: feeds
+        # shard over the data axis, wide kernels stay tensor-parallel
+        # (GSPMD; see parallel/).  On a 1-device mesh this is a no-op.
+        from video_learning_tpu.parallel import mesh as mesh_mod
+        self.mesh = mesh_mod.make_mesh(
+            getattr(settings, "mesh_shape", None))
+        self.data_sharding = mesh_mod.data_sharding(self.mesh)
+        self._placed_src = None
+        self._placed_params = None
         if model is not None:
             self._build_forward()
 
@@ -88,6 +97,19 @@ class Validation:
 
     def run_forward(self, params, feed, decode=False):
         fn = self._decode if decode else self._forward
+        if self.mesh.size > 1:
+            if params is not self._placed_src:
+                # shard once per params object (do_test passes the same
+                # tree every batch)
+                from video_learning_tpu.parallel import mesh as mesh_mod
+                from video_learning_tpu.parallel.sharding import \
+                    shard_params
+                self._placed_src = params
+                self._placed_params = shard_params(params, self.mesh)
+            params = self._placed_params
+            from video_learning_tpu.parallel import mesh as mesh_mod
+            feed = mesh_mod.shard_feed(feed, self.mesh,
+                                       self.data_sharding)
         return np.asarray(fn(params, feed))
 
     # ------------------------------------------------- logits accumulation
