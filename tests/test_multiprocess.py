@@ -74,6 +74,22 @@ WORKER = textwrap.dedent("""
             losses.append(m["loss"])
         d.rewind(next_epoch=True)
     print("LOSSES " + json.dumps(losses), flush=True)
+
+    # multi-controller sharded EVAL: each process feeds its local half of
+    # a global batch; replicated out_shardings give every host the full
+    # logits (val.py jit_kw)
+    from video_learning_tpu.config import ValOpts
+    from video_learning_tpu.val import Validation
+    settings.val = ValOpts()
+    val = Validation(settings, model)
+    rng = np.random.RandomState(100 + pid)   # different local halves
+    vfeed = {"frames_main_input":
+             rng.randn(4, 67, 67, 3).astype(np.float32),
+             "labels": np.eye(4, dtype=np.int32)[np.arange(2) %% 4]}
+    logits = val.run_forward(engine.params, vfeed)
+    assert logits.shape == (4, 4), logits.shape
+    print("VAL " + json.dumps(np.asarray(logits, np.float64)
+                              .round(6).tolist()), flush=True)
     jax.distributed.shutdown()
 """ % REPO)
 
@@ -128,6 +144,15 @@ def test_two_process_training(tmp_path):
         line = [l for l in out.splitlines() if l.startswith("LOSSES ")]
         assert line, out[-3000:]
         losses.append(json.loads(line[-1][len("LOSSES "):]))
+
+    # sharded eval: both hosts materialized the SAME full global logits
+    vals = []
+    for rc, out in outs:
+        line = [l for l in out.splitlines() if l.startswith("VAL ")]
+        assert line, out[-3000:]
+        vals.append(np.asarray(json.loads(line[-1][len("VAL "):])))
+    assert vals[0].shape == vals[1].shape == (4, 4)
+    assert np.allclose(vals[0], vals[1], atol=1e-5)
 
     # each host ran 2 epochs x 2 local batches = 4 global steps
     assert len(losses[0]) == len(losses[1]) == 4

@@ -232,6 +232,13 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
         geometry = BatchGeometry()
         is_caption = model.caption_dataset is not None
         caption_rows = []
+        # the val accumulator logs incremental "accuracy" against the
+        # dummy labels — meaningless during inference; quiet the loop
+        import logging as _logging
+        logger = _logging.getLogger("vlt")
+        loop_level = max(logger.getEffectiveLevel(), _logging.WARNING)
+        prev_level = logger.level
+        logger.setLevel(loop_level)
         while feeder.loop():
             feed, batches = feeder.get_feed(model.required_input)
             feed = run_task._prepare_feed(feed, batches, model)
@@ -249,6 +256,7 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
                 val.process_validation_logits(
                     defs.dataset_tag.main, settings, logits,
                     feed["labels"], padding)
+        logger.setLevel(prev_level)
 
         results = []
         if is_caption:

@@ -92,8 +92,16 @@ class Validation:
                 feed[key] = p(feed[key], feed.pop(key + "/proc_params"))
             return model.apply(params, feed, train=False, decode=True)
 
-        self._forward = jax.jit(forward)
-        self._decode = jax.jit(decode)
+        jit_kw = {}
+        if self.mesh.size > 1:
+            # replicate the (small) outputs so every host materializes the
+            # full logits/decode rows — without this a multi-controller
+            # np.asarray of a batch-sharded global array would fail
+            # (SURVEY §5: eval logit gathers on DCN)
+            from video_learning_tpu.parallel import mesh as mesh_mod
+            jit_kw["out_shardings"] = mesh_mod.replicated(self.mesh)
+        self._forward = jax.jit(forward, **jit_kw)
+        self._decode = jax.jit(decode, **jit_kw)
 
     def run_forward(self, params, feed, decode=False):
         fn = self._decode if decode else self._forward
