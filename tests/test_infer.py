@@ -64,9 +64,7 @@ def test_infer_video_folders(trained_video_run):
     assert os.path.exists(tmp_path / "iw" / "media.infer.tfrecord")
 
 
-def test_infer_image_files_fresh_params(tmp_path):
-    """Image media + --checkpoint none (smoke mode): structure only, no
-    training required.  Also exercises the iterative single-frame pack."""
+def _image_media(tmp_path):
     from PIL import Image
 
     from tests.conftest import make_image
@@ -78,8 +76,11 @@ def test_infer_image_files_fresh_params(tmp_path):
     paths = tmp_path / "imgs.train"
     paths.write_text("".join("%s %d\n" % (m, i)
                              for i, m in enumerate(media)))
-    run_folder = tmp_path / "run"
-    cfg = {"run": {
+    return media, paths
+
+
+def _image_cfg(tmp_path, paths, run_folder):
+    return {"run": {
         "resume_file": None,
         "run_folder": str(run_folder),
         "run_id": "imginfer",
@@ -123,6 +124,13 @@ def test_infer_image_files_fresh_params(tmp_path):
                     "print_tensors": False, "tensorboard_folder": "tb",
                     "email_notify": None},
     }}
+
+
+def test_infer_image_files_fresh_params(tmp_path):
+    """Image media + --checkpoint none (smoke mode): structure only, no
+    training required.  Also exercises the iterative single-frame pack."""
+    media, paths = _image_media(tmp_path)
+    cfg = _image_cfg(tmp_path, paths, tmp_path / "run")
     cfg_path = tmp_path / "run.yml"
     cfg_path.write_text(yaml.safe_dump(cfg))
     results = infer_mod.infer(str(cfg_path), media, checkpoint="none",
@@ -132,6 +140,39 @@ def test_infer_image_files_fresh_params(tmp_path):
         # full softmax over 4 classes sums to 1
         assert np.isclose(sum(p for _, p in r["topk"]), 1.0, atol=1e-5)
         assert all(isinstance(c, int) for c, _ in r["topk"])
+
+
+def test_infer_train_only_config(tmp_path):
+    """A config with NO val: block (trained train-only) must still
+    serve: infer synthesizes val defaults instead of KeyError'ing."""
+    media, paths = _image_media(tmp_path)
+    cfg = _image_cfg(tmp_path, paths, tmp_path / "run")
+    del cfg["run"]["val"]
+    cfg["run"]["phase"] = "defs.phase.train"
+    cfg["run"]["data"]["imgs"]["phase"] = "defs.phase.train"
+    cfg_path = tmp_path / "run.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    results = infer_mod.infer(str(cfg_path), media, checkpoint="none",
+                              topk=2)
+    assert len(results) == 3
+    assert all(len(r["topk"]) == 2 for r in results)
+
+
+def test_infer_missing_media_reports_not_found(tmp_path):
+    from video_learning_tpu.utils import FrameworkError
+    with pytest.raises(FrameworkError, match="not found"):
+        infer_mod._media_kind([str(tmp_path / "no_such_dir")])
+
+
+def test_infer_untagged_dataset_error(tmp_path):
+    from video_learning_tpu.utils import FrameworkError
+    media, paths = _image_media(tmp_path)
+    cfg = _image_cfg(tmp_path, paths, tmp_path / "run")
+    cfg["run"]["data"]["imgs"]["tag"] = "defs.dataset_tag.aux"
+    cfg_path = tmp_path / "run.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(FrameworkError, match="main-tagged"):
+        infer_mod.infer(str(cfg_path), media, checkpoint="none")
 
 
 def test_infer_rejects_mixed_media(tmp_path, tiny_image_tree):

@@ -120,7 +120,11 @@ class SerializationSettings:
 
         if not self.run_id:
             self.run_id = "serialize_%s" % get_datetime_str()
-        self.logfile = "log_%s.log" % self.run_id
+        # optional log destination (default: CWD, like the reference);
+        # in-process callers (tools/infer) point this at their workdir
+        # instead of chdir-ing the whole process
+        log_folder = str(config.get("log_folder") or ".")
+        self.logfile = join(log_folder, "log_%s.log" % self.run_id)
         self.logger = CustomLogger()
         self.logger.configure_logging(self.logfile, logging_level, None)
 

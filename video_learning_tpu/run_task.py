@@ -131,6 +131,29 @@ def do_train(settings, engine, feeder, model, writer):
         feeder.save(engine.state_dict(), progress, settings.global_step)
 
 
+def run_val_batch(settings, val, params, model, feed, batches, padding,
+                  caption_rows):
+    """Forward + accumulate one validation batch.  Shared by do_test and
+    tools/infer so serving can never drift from evaluation."""
+    if model.caption_dataset is not None:
+        # one decoded row per batch ITEM (for video datasets
+        # visual.shape[0] counts frames, not items — use the caption
+        # framing's item count)
+        main = batches[defs.dataset_tag.main]
+        real_items = len(main.caption["caption_lengths"])
+        idx_rows = val.run_forward(params, feed, decode=True)
+        dset = model.caption_dataset
+        for row in idx_rows[:real_items]:
+            caption_rows.append(captions_mod.trim_at_eos(
+                row, dset.vocabulary, dset.max_caption_length))
+    else:
+        logits = val.run_forward(params, feed)
+        val.process_validation_logits(
+            defs.dataset_tag.main, settings, logits, feed["labels"],
+            padding)
+        val.save_validation_logits_chunk()
+
+
 def do_test(settings, val, params, feeder, model, writer):
     """Validation loop (reference run_task.py:84-114)."""
     from video_learning_tpu.batching import BatchGeometry
@@ -145,23 +168,8 @@ def do_test(settings, val, params, feeder, model, writer):
         feed, n_valid, padding = geometry.pad_feed(feed)
         num_data = [b.visual.shape[0] for b in batches.values()]
         print_iter_info(settings, feeder, num_data, n_valid, padding)
-        if is_caption:
-            # one decoded row per batch ITEM (for video datasets
-            # visual.shape[0] counts frames, not items — use the caption
-            # framing's item count)
-            main = batches[defs.dataset_tag.main]
-            real_items = len(main.caption["caption_lengths"])
-            idx_rows = val.run_forward(params, feed, decode=True)
-            dset = model.caption_dataset
-            for row in idx_rows[:real_items]:
-                caption_rows.append(captions_mod.trim_at_eos(
-                    row, dset.vocabulary, dset.max_caption_length))
-        else:
-            logits = val.run_forward(params, feed)
-            val.process_validation_logits(
-                defs.dataset_tag.main, settings, logits, feed["labels"],
-                padding)
-            val.save_validation_logits_chunk()
+        run_val_batch(settings, val, params, model, feed, batches,
+                      padding, caption_rows)
     accuracy = None
     if is_caption:
         val.process_description(settings, caption_rows)

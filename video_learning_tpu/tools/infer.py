@@ -42,13 +42,15 @@ from video_learning_tpu.utils import ensure_console_logging, error, info
 
 
 def _media_kind(paths):
+    # existence first: a mistyped folder path must report "not found",
+    # not a misleading mixed-kinds error
+    for p in paths:
+        if not os.path.exists(p):
+            error("Media not found: %s" % p)
     kinds = {"video" if os.path.isdir(p) else "image" for p in paths}
     if len(kinds) != 1:
         error("Mix of image files and frame folders in --media; run the "
               "tool once per media kind")
-    for p in paths:
-        if not os.path.exists(p):
-            error("Media not found: %s" % p)
     return kinds.pop()
 
 
@@ -56,11 +58,14 @@ def _main_dataset_cfg(run_cfg):
     data = run_cfg.get("data")
     if not data:
         error("Run config has no data: section")
+    if len(data) > 1:
+        error("Inference supports configs with exactly one dataset; "
+              "found %d" % len(data))
     mains = [(name, d) for name, d in data.items()
              if d.get("tag") == "defs.dataset_tag.main"]
-    if len(data) > 1 or len(mains) != 1:
-        error("Inference supports configs with exactly one (main) "
-              "dataset; found %d" % len(data))
+    if not mains:
+        error("The config's dataset is not tagged defs.dataset_tag.main; "
+              "inference needs a main-tagged dataset")
     return mains[0]
 
 
@@ -118,17 +123,13 @@ def _pack_media(workdir, media, kind, dcfg, fpc, cpv):
         "validate_pcnt": 0,
         "frame_format": dcfg.get("frame_format", "jpg"),
         "logging_level": "logging.INFO",
+        "log_folder": workdir,
         "seed": 0,
     }}
     cfg_path = os.path.join(workdir, "pack.yml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(ser_cfg, f)
-    cwd = os.getcwd()
-    os.chdir(workdir)  # the packer writes its log into CWD
-    try:
-        ser.main(["serialize", cfg_path])
-    finally:
-        os.chdir(cwd)
+    ser.main(["serialize", cfg_path])
     return paths_file
 
 
@@ -143,7 +144,6 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
     from video_learning_tpu import run_task
     from video_learning_tpu.batching import BatchGeometry
     from video_learning_tpu.config import Settings
-    from video_learning_tpu.data import captions as captions_mod
     from video_learning_tpu.defs import defs
     from video_learning_tpu.models.pipeline import Model
     from video_learning_tpu.parallel.mesh import init_platform
@@ -204,10 +204,17 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
         dcfg["phase"] = "defs.phase.val"
         dcfg["imgproc"] = _val_imgproc(dcfg.get("imgproc"))
         run_cfg["data"] = {name: dcfg}
+        # ensure a val: block exists (the model may have been trained
+        # with a train-only config) and give it inference defaults
+        val_cfg = dict(run_cfg.get("val") or {})
         if batch_size:
-            run_cfg.setdefault("val", {})
-            run_cfg["val"] = dict(run_cfg["val"])
-            run_cfg["val"]["batch_size"] = batch_size
+            val_cfg["batch_size"] = batch_size
+        val_cfg.setdefault("batch_size", 8)
+        if kind == "video" and not val_cfg.get("clip_fusion"):
+            # video items always pass through clip fusion at accumulation
+            val_cfg["clip_fusion"] = ["defs.fusion_type.late",
+                                      "defs.fusion_method.avg"]
+        run_cfg["val"] = val_cfg
         docs = dict(docs)
         docs["run"] = run_cfg
         infer_cfg = os.path.join(workdir, "infer_run.yml")
@@ -239,27 +246,22 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
         loop_level = max(logger.getEffectiveLevel(), _logging.WARNING)
         prev_level = logger.level
         logger.setLevel(loop_level)
-        while feeder.loop():
-            feed, batches = feeder.get_feed(model.required_input)
-            feed = run_task._prepare_feed(feed, batches, model)
-            feed, n_valid, padding = geometry.pad_feed(feed)
-            if is_caption:
-                main = batches[defs.dataset_tag.main]
-                real_items = len(main.caption["caption_lengths"])
-                rows = val.run_forward(params, feed, decode=True)
-                dset = model.caption_dataset
-                for row in rows[:real_items]:
-                    caption_rows.append(captions_mod.trim_at_eos(
-                        row, dset.vocabulary, dset.max_caption_length))
-            else:
-                logits = val.run_forward(params, feed)
-                val.process_validation_logits(
-                    defs.dataset_tag.main, settings, logits,
-                    feed["labels"], padding)
-        logger.setLevel(prev_level)
+        try:
+            while feeder.loop():
+                feed, batches = feeder.get_feed(model.required_input)
+                feed = run_task._prepare_feed(feed, batches, model)
+                feed, n_valid, padding = geometry.pad_feed(feed)
+                run_task.run_val_batch(settings, val, params, model,
+                                       feed, batches, padding,
+                                       caption_rows)
+        finally:
+            logger.setLevel(prev_level)
 
         results = []
         if is_caption:
+            if len(caption_rows) != len(media):
+                error("Produced %d captions for %d media items"
+                      % (len(caption_rows), len(media)))
             vocab = model.caption_dataset.vocabulary
             for path, row in zip(media, caption_rows):
                 results.append({"media": path,

@@ -106,14 +106,21 @@ class Validation:
     def run_forward(self, params, feed, decode=False):
         fn = self._decode if decode else self._forward
         if self.mesh.size > 1:
-            if params is not self._placed_src:
-                # shard once per params object (do_test passes the same
-                # tree every batch)
-                from video_learning_tpu.parallel import mesh as mesh_mod
+            # shard once per params CONTENT (do_test passes the same tree
+            # every batch).  The cache key includes a leaf identity
+            # because checkpoint.restore_checkpoint rewrites leaves
+            # in place (same outer dict, new arrays) — identity of the
+            # tree alone would silently reuse the stale placement.  The
+            # cache fields are only updated after a successful placement
+            # so a failed shard_params cannot leave them inconsistent.
+            leaves = jax.tree_util.tree_leaves(params)
+            key = (id(params), id(leaves[0]) if leaves else None)
+            if key != self._placed_src:
                 from video_learning_tpu.parallel.sharding import \
                     shard_params
-                self._placed_src = params
-                self._placed_params = shard_params(params, self.mesh)
+                placed = shard_params(params, self.mesh)
+                self._placed_params = placed
+                self._placed_src = key
             params = self._placed_params
             from video_learning_tpu.parallel import mesh as mesh_mod
             feed = mesh_mod.shard_feed(feed, self.mesh,
