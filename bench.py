@@ -289,6 +289,82 @@ def run_e2e(args):
     return result
 
 
+# Forward-only CPU proxy at the bench workload (python bench.py --cpu
+# --eval, batch 1 like the train proxy), recorded in BASELINE.md.
+CPU_EVAL_BASELINE_CLIPS_PER_SEC = 2.639
+
+
+def run_eval(args):
+    """Serving throughput: forward-only clips/sec (uint8 frames ->
+    on-device crop/mean/mirror -> AlexNet fc7 -> LSTM -> logits), the
+    device rate behind the val phase and tools/infer.  Same model,
+    geometry, and preprocessing chain as the training benchmark, minus
+    loss/backward/update."""
+    force_cpu = args.cpu
+    cpu_fallback = False
+    if not force_cpu and not _probe_accelerator():
+        sys.stderr.write("Accelerator unresponsive; eval bench on CPU\n")
+        force_cpu = cpu_fallback = True
+    import jax
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from video_learning_tpu.parallel.mesh import init_platform
+    init_platform()
+    on_cpu = jax.devices()[0].platform == "cpu"
+
+    batch_clips = args.batch_clips or (1 if on_cpu else 128)
+    steps = args.steps or (2 if on_cpu else 20)
+    fpc = args.fpc
+    num_classes = 101
+    raw_hw, crop = (240, 320), 227
+    compute_dtype = "float32" if on_cpu else "bfloat16"
+    settings, model, engine = build(batch_clips, fpc, raw_hw, crop,
+                                    num_classes, compute_dtype)
+
+    # forward mirrors Validation._build_forward: fused device
+    # preprocessing ahead of the model, train=False (no dropout)
+    from video_learning_tpu.defs import defs
+    from video_learning_tpu.ops.preprocess import make_preprocessor
+    dset = settings.feeder.get_dataset_by_tag(defs.dataset_tag.main)[0]
+    pre = make_preprocessor(dset.processor, out_dtype=model.compute_dtype)
+
+    def fwd(params, prms, frames):
+        x = pre(frames, prms)
+        return model.apply(params, {"frames_main_input": x}, train=False)
+
+    n_frames = batch_clips * fpc
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 256, (n_frames,) + raw_hw + (3,), np.uint8)
+    prms = np.zeros((n_frames, 3), np.int32)
+    prms[:, 0] = rng.randint(0, raw_hw[0] - crop + 1, n_frames)
+    prms[:, 1] = rng.randint(0, raw_hw[1] - crop + 1, n_frames)
+
+    from video_learning_tpu.tools.profile_ablation import _timed
+    beat = _start_stall_watchdog()
+    # place operands on device once: _timed re-passes its args every rep,
+    # and the tunnel ships host numpy at ~0.03 GB/s (a 471 MB uint8 batch
+    # would dominate the measurement ~10x; BASELINE.md e2e notes)
+    raw_dev = jax.device_put(raw)
+    prms_dev = jax.device_put(prms)
+    beat()
+    sec = _timed(fwd, engine.params, prms_dev, raw_dev,
+                 inner=steps, reps=1 if on_cpu else 5)
+    beat()
+    clips_per_sec = batch_clips / sec
+    metric = "eval_clips_per_sec_per_chip_lstm_acrec_fpc%d" % fpc
+    if cpu_fallback:
+        metric += "_CPUFALLBACK_tpu_unreachable"
+    base = CPU_EVAL_BASELINE_CLIPS_PER_SEC
+    result = {
+        "metric": metric,
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/s",
+        "vs_baseline": (round(clips_per_sec / base, 2) if base else None),
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
@@ -300,7 +376,11 @@ def main():
                     help="end-to-end: feeder->prefetch->device")
     ap.add_argument("--e2e-transfer", action="store_true",
                     help="e2e with coupled per-batch H2D transfers")
+    ap.add_argument("--eval", action="store_true",
+                    help="forward-only serving throughput")
     args = ap.parse_args()
+    if args.eval:
+        return run_eval(args)
     if args.e2e or args.e2e_transfer:
         return run_e2e(args)
 
