@@ -158,6 +158,35 @@ def test_infer_train_only_config(tmp_path):
     assert all(len(r["topk"]) == 2 for r in results)
 
 
+def test_infer_png_and_space_paths(tmp_path):
+    """Regressions: (a) image media whose extension differs from the
+    training config's frame_format (png vs jpg) must still pack as IMAGES
+    — the packer infers image-vs-video mode from the first path's suffix,
+    so the pack format has to follow the media; (b) media paths with
+    spaces are staged through space-free symlinks (the packer's list-file
+    format is space-delimited)."""
+    from PIL import Image
+
+    from tests.conftest import make_image
+
+    _, paths = _image_media(tmp_path)    # jpg training list
+    spaced = tmp_path / "my photos"
+    spaced.mkdir()
+    p0 = spaced / "im 0.png"
+    Image.fromarray(make_image(112, 112, seed=7)).save(p0)
+    p1 = tmp_path / "imx.jpg"
+    Image.fromarray(make_image(112, 112, seed=8)).save(p1, quality=95)
+    media = [str(p0), str(p1)]
+
+    cfg = _image_cfg(tmp_path, paths, tmp_path / "run")
+    cfg_path = tmp_path / "run.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    results = infer_mod.infer(str(cfg_path), media, checkpoint="none",
+                              topk=2)
+    assert [r["media"] for r in results] == media
+    assert all(len(r["topk"]) == 2 for r in results)
+
+
 def test_infer_missing_media_reports_not_found(tmp_path):
     from video_learning_tpu.utils import FrameworkError
     with pytest.raises(FrameworkError, match="not found"):

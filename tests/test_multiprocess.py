@@ -76,8 +76,10 @@ WORKER = textwrap.dedent("""
     print("LOSSES " + json.dumps(losses), flush=True)
 
     # multi-controller sharded EVAL: each process feeds its local half of
-    # a global batch; replicated out_shardings give every host the full
-    # logits (val.py jit_kw)
+    # a global batch; the forward computes the assembled GLOBAL batch
+    # (replicated out_shardings) and run_forward returns THIS host's rows
+    # so the host-local accumulation (labels/padding/captions) stays
+    # paired with its own logits
     from video_learning_tpu.config import ValOpts
     from video_learning_tpu.val import Validation
     settings.val = ValOpts()
@@ -87,7 +89,16 @@ WORKER = textwrap.dedent("""
              rng.randn(4, 67, 67, 3).astype(np.float32),
              "labels": np.eye(4, dtype=np.int32)[np.arange(2) %% 4]}
     logits = val.run_forward(engine.params, vfeed)
-    assert logits.shape == (4, 4), logits.shape
+    assert logits.shape == (2, 4), logits.shape
+
+    # reference: the same local batch through a single-device forward
+    # with the same (replicated) params — row attribution must be exact
+    host_params = jax.tree_util.tree_map(np.asarray, engine.params)
+    settings.mesh_shape = {"data": 1}
+    ref_val = Validation(settings, model)
+    ref = ref_val.run_forward(host_params, dict(vfeed))
+    assert ref.shape == (2, 4), ref.shape
+    assert np.allclose(logits, ref, atol=1e-4), (logits, ref)
     print("VAL " + json.dumps(np.asarray(logits, np.float64)
                               .round(6).tolist()), flush=True)
     jax.distributed.shutdown()
@@ -145,14 +156,16 @@ def test_two_process_training(tmp_path):
         assert line, out[-3000:]
         losses.append(json.loads(line[-1][len("LOSSES "):]))
 
-    # sharded eval: both hosts materialized the SAME full global logits
+    # sharded eval: each host got ITS OWN rows back (verified against a
+    # single-device reference inside the worker); the two hosts fed
+    # different halves so their local logits must differ
     vals = []
     for rc, out in outs:
         line = [l for l in out.splitlines() if l.startswith("VAL ")]
         assert line, out[-3000:]
         vals.append(np.asarray(json.loads(line[-1][len("VAL "):])))
-    assert vals[0].shape == vals[1].shape == (4, 4)
-    assert np.allclose(vals[0], vals[1], atol=1e-5)
+    assert vals[0].shape == vals[1].shape == (2, 4)
+    assert not np.allclose(vals[0], vals[1], atol=1e-5)
 
     # each host ran 2 epochs x 2 local batches = 4 global steps
     assert len(losses[0]) == len(losses[1]) == 4

@@ -207,8 +207,7 @@ class Model:
         # (reference model.py:84-97 builds via vectorizer.Vectorizer.build)
         vec = spec["vectorizer"]
         if vec.param_key is not None:
-            vec_shape = in_shape if vec.name == vectorizer.DCNN.name \
-                else (in_dim,)
+            vec_shape = in_shape if vec.wants_image_input else (in_dim,)
             p[vec.param_key] = vec.init(keys[0], vec_shape)
             for group, rels in (("regular", vec.train_regular),
                                 ("modified", vec.train_modified)):
@@ -322,8 +321,7 @@ class Model:
 
         def vec_fn(vp, inp):
             return vec.apply(vp, inp, compute_dtype=self.compute_dtype)
-        if vec.name == vectorizer.DCNN.name and \
-                getattr(self.settings, "remat", False):
+        if vec.supports_remat and getattr(self.settings, "remat", False):
             # rematerialize the frame encoder's activations in the
             # backward pass: trades FLOPs for HBM, enabling larger
             # frame batches (jax.checkpoint)

@@ -31,6 +31,14 @@ class Vectorizer:
     name = "base"
     description = "abstract vectorizer"
     param_key = None
+    # contract flags the pipeline builder dispatches on (instead of
+    # type-checking concrete strategies):
+    # wants_image_input: init() receives the full (H, W, C) input shape
+    #                    rather than the flattened trailing dim
+    # supports_remat:    apply() is expensive enough that jax.checkpoint
+    #                    (rematerialize activations in backward) pays off
+    wants_image_input = False
+    supports_remat = False
 
     def __init__(self):
         self.train_regular = []
@@ -69,6 +77,8 @@ class DCNN(Vectorizer):
     name = "dcnn"
     description = "Deep convolutional neural net (AlexNet)"
     param_key = "dcnn"
+    wants_image_input = True
+    supports_remat = True
 
     def __init__(self, num_classes, frame_encoding_layer="fc7",
                  weights_file=None):

@@ -69,11 +69,10 @@ def _main_dataset_cfg(run_cfg):
     return mains[0]
 
 
-def _training_fpc_cpv(dcfg):
+def _training_fpc_cpv(size_file):
     """frames-per-clip / clips-per-item the model was trained with, from
     the packed training set's .size sidecar when it exists."""
     from video_learning_tpu.data import records
-    size_file = str(dcfg.get("data_path")) + ".tfrecord.size"
     if os.path.exists(size_file):
         meta = records.read_size_file(size_file)
         cpi = meta["cpi"]
@@ -95,14 +94,50 @@ def _val_imgproc(imgproc):
     return out
 
 
+def _stage_media(workdir, media):
+    """The packer's list-file format is space-delimited ``path label…``
+    (reference serialize.py:512), so a media path containing whitespace
+    would be truncated at its first space — stage a space-free symlink
+    (keeping the extension: it drives image/video mode inference)."""
+    staged = []
+    link_dir = None
+    for i, p in enumerate(media):
+        p = os.path.abspath(p)
+        if not any(c.isspace() for c in p):
+            staged.append(p)
+            continue
+        if link_dir is None:
+            link_dir = os.path.join(workdir, "staged")
+            os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir,
+                            "item_%05d%s" % (i, os.path.splitext(p)[1]))
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(p, link)
+        staged.append(link)
+    return staged
+
+
 def _pack_media(workdir, media, kind, dcfg, fpc, cpv):
     """Serialize the media into a temp record set with dummy labels,
     through the production packer."""
     from video_learning_tpu.data import serialize as ser
+    media = _stage_media(workdir, media)
+    if kind == "image":
+        # the packer re-infers image-vs-video mode from the FIRST path's
+        # suffix vs frame_format (serialize.read_file) — a .png fed to a
+        # jpg-trained config must still pack as an image, so the pack
+        # format follows the media, not the training config
+        frame_format = os.path.splitext(media[0])[1][1:]
+        if not frame_format:
+            error("Image media needs a file extension (the packer infers "
+                  "image-vs-video mode from it): %s" % media[0])
+    else:
+        frame_format = dcfg.get("frame_format", "jpg")
     paths_file = os.path.join(workdir, "media.infer")
     with open(paths_file, "w") as f:
         for p in media:
-            f.write("%s 0\n" % os.path.abspath(p))
+            f.write("%s 0\n" % p)
     ser_cfg = {"serialize": {
         "output_folder": None,
         "path_prepend_folder": None,
@@ -121,7 +156,7 @@ def _pack_media(workdir, media, kind, dcfg, fpc, cpv):
         "do_serialize": True,
         "do_validate": False,
         "validate_pcnt": 0,
-        "frame_format": dcfg.get("frame_format", "jpg"),
+        "frame_format": frame_format,
         "logging_level": "logging.INFO",
         "log_folder": workdir,
         "seed": 0,
@@ -158,13 +193,16 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
     run_cfg = docs["run"]
     kind = _media_kind(media)
     name, dcfg = _main_dataset_cfg(run_cfg)
+    # the packed TRAINING set's sidecar (fpc/cpv and caption length the
+    # model was trained with) — resolved once, before dcfg is rewritten
+    train_size_file = str(dcfg.get("data_path")) + ".tfrecord.size"
 
     owns_workdir = workdir is None
     workdir = workdir or tempfile.mkdtemp(prefix="vlt_infer_")
     os.makedirs(workdir, exist_ok=True)
     try:
         if kind == "video":
-            t_fpc, t_cpv = _training_fpc_cpv(dcfg)
+            t_fpc, t_cpv = _training_fpc_cpv(train_size_file)
             fpc = fpc or t_fpc
             cpv = cpv or t_cpv or 1
             if not fpc:
@@ -184,12 +222,10 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
             # configured cap the decode length would shrink to 1 — carry
             # the TRAINING set's caption length over instead
             from video_learning_tpu.data import records
-            size_file = str(_main_dataset_cfg(docs["run"])[1]
-                            .get("data_path")) + ".tfrecord.size"
-            if os.path.exists(size_file):
+            if os.path.exists(train_size_file):
                 run_cfg["captioning"] = dict(run_cfg["captioning"])
                 run_cfg["captioning"]["caption_max_length"] = \
-                    records.read_size_file(size_file)["labelcount"]
+                    records.read_size_file(train_size_file)["labelcount"]
             else:
                 error("Captioning inference needs captioning."
                       "caption_max_length in the config (or a .size "

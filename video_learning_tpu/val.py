@@ -57,8 +57,10 @@ class Validation:
         self.mesh = mesh_mod.make_mesh(
             getattr(settings, "mesh_shape", None))
         self.data_sharding = mesh_mod.data_sharding(self.mesh)
-        self._placed_src = None
+        self._src_params = None
+        self._src_leaf0 = None
         self._placed_params = None
+        self._row_maps = {}
         if model is not None:
             self._build_forward()
 
@@ -103,29 +105,67 @@ class Validation:
         self._forward = jax.jit(forward, **jit_kw)
         self._decode = jax.jit(decode, **jit_kw)
 
+    def _local_rows(self, n_local, n_global):
+        """Global row indices this process contributed when every process
+        assembles ``n_local`` rows over the data axis (cached per
+        geometry).  Derived empirically — a marker array pushed through
+        the SAME assembly (``make_array_from_process_local_data`` with the
+        same sharding) and gathered back replicated — so no assumption
+        about device-order/process contiguity is made."""
+        rows = self._row_maps.get(n_local)
+        if rows is None:
+            from video_learning_tpu.parallel import mesh as mesh_mod
+            pid = jax.process_index()
+            marker = jax.make_array_from_process_local_data(
+                self.data_sharding, np.full((n_local,), pid, np.int32))
+            gathered = np.asarray(jax.jit(
+                lambda x: x,
+                out_shardings=mesh_mod.replicated(self.mesh))(marker))
+            rows = np.flatnonzero(gathered == pid)
+            assert len(rows) == n_local and len(gathered) == n_global, \
+                (len(rows), n_local, len(gathered), n_global)
+            self._row_maps[n_local] = rows
+        return rows
+
     def run_forward(self, params, feed, decode=False):
         fn = self._decode if decode else self._forward
         if self.mesh.size > 1:
             # shard once per params CONTENT (do_test passes the same tree
-            # every batch).  The cache key includes a leaf identity
-            # because checkpoint.restore_checkpoint rewrites leaves
-            # in place (same outer dict, new arrays) — identity of the
-            # tree alone would silently reuse the stale placement.  The
-            # cache fields are only updated after a successful placement
-            # so a failed shard_params cannot leave them inconsistent.
+            # every batch).  The cache compares OBJECT IDENTITY of the
+            # tree and its first leaf: checkpoint.restore_checkpoint
+            # rewrites leaves in place (same outer dict, new arrays), so
+            # the tree alone is not enough; and strong references to the
+            # cached source are held below because ``id()`` of a freed
+            # object can be reused by a new allocation — ``is`` against
+            # kept-alive objects cannot alias.  The cache fields are only
+            # updated after a successful placement so a failed
+            # shard_params cannot leave them inconsistent.
             leaves = jax.tree_util.tree_leaves(params)
-            key = (id(params), id(leaves[0]) if leaves else None)
-            if key != self._placed_src:
+            leaf0 = leaves[0] if leaves else None
+            if params is not self._src_params or \
+                    leaf0 is not self._src_leaf0:
                 from video_learning_tpu.parallel.sharding import \
                     shard_params
                 placed = shard_params(params, self.mesh)
                 self._placed_params = placed
-                self._placed_src = key
+                self._src_params = params
+                self._src_leaf0 = leaf0
             params = self._placed_params
             from video_learning_tpu.parallel import mesh as mesh_mod
             feed = mesh_mod.shard_feed(feed, self.mesh,
                                        self.data_sharding)
-        return np.asarray(fn(params, feed))
+        out = np.asarray(fn(params, feed))
+        procs = jax.process_count()
+        if self.mesh.size > 1 and procs > 1:
+            # shard_feed assembled a GLOBAL batch from the per-process
+            # local feeds and the replicated out_shardings materialize
+            # the GLOBAL rows on every host — but everything downstream
+            # (labels, tail padding, caption framing, dataset clip
+            # bookkeeping) is host-local.  Return exactly this host's
+            # rows so accumulation pairs logits with their own labels.
+            n_local = out.shape[0] // procs
+            out = out[self._local_rows(n_local, out.shape[0])]
+        return out
 
     # ------------------------------------------------- logits accumulation
     def process_validation_logits(self, tag, settings, logits, labels,
