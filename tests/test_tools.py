@@ -456,3 +456,35 @@ def test_postproc_flatten_collision_atomic(tmp_path):
     (base3 / "b" / "a").write_bytes(b"2")
     assert pp.flatten_one_level(str(base3)) == 2
     assert (base3 / "f1.png").exists() and (base3 / "a").is_file()
+
+
+def test_metrics_writer_tensorboard_events(tmp_path):
+    """The opt-in event sink writes stock TensorBoard scalar events a
+    vanilla `tensorboard --logdir` can read (the reference's
+    start-tensorboard.sh workflow) alongside the JSONL stream."""
+    import json as _json
+
+    from video_learning_tpu.observe import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path), "evrun", "ts0", events=True)
+    w.write(1, loss=2.5, lr=0.1)
+    w.write(2, loss=1.25, lr=0.05, note="text-skipped")
+    w.close()
+
+    # JSONL stream unchanged
+    lines = [_json.loads(l) for l in open(tmp_path / "metrics_evrun_ts0.jsonl")]
+    assert [l["step"] for l in lines] == [1, 2]
+
+    import tensorflow as tf
+    event_files = sorted(str(p) for p in tmp_path.glob("events.out.tfevents.*"))
+    assert event_files, list(tmp_path.iterdir())
+    seen = {}
+    for ef in event_files:
+        for ev in tf.compat.v1.train.summary_iterator(ef):
+            for v in ev.summary.value:
+                seen[(ev.step, v.tag)] = tf.make_ndarray(v.tensor).item()
+    assert seen[(1, "loss")] == 2.5 and seen[(2, "loss")] == 1.25
+    assert abs(seen[(1, "lr")] - 0.1) < 1e-6    # scalars stored as f32
+    assert abs(seen[(2, "lr")] - 0.05) < 1e-6
+    # non-numeric scalars go to JSONL only
+    assert not any(tag == "note" for _, tag in seen)

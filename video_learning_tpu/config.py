@@ -98,6 +98,7 @@ class Settings:
         self.num_classes = None
         self.logging_level = "logging.INFO"
         self.tensorboard_folder = "tensorboard"
+        self.tensorboard_events = False
         self.print_tensors = False
         self.email_notify = None
         self.save_freq_per_epoch = 1
@@ -274,6 +275,10 @@ class Settings:
             error("Invalid logging level: %s" % self.logging_level)
         self.tensorboard_folder = logcfg.get("tensorboard_folder",
                                              "tensorboard")
+        # opt-in stock-TensorBoard event files next to the JSONL metrics
+        # (the reference's start-tensorboard.sh workflow)
+        self.tensorboard_events = bool(logcfg.get("tensorboard_events",
+                                                  False))
         self.print_tensors = bool(logcfg.get("print_tensors", False))
         # optional [start_step, num_steps] to capture a jax.profiler trace
         profile = parse_seq(logcfg.get("profile"))

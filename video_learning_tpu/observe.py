@@ -3,9 +3,11 @@
 Replaces the reference's TensorBoard summary plumbing
 (/root/reference/utils_.py:172-184, run_task.py:143) with a dependency-free
 JSONL scalar writer (one line per step, trivially plottable) plus optional
-jax.profiler trace capture around chosen steps.  If TensorBoard is wanted,
-point it at the JSONL via any converter; the framework itself stays free of
-TF imports on the hot path.
+jax.profiler trace capture around chosen steps.  The framework stays free
+of TF imports on the hot path; for a stock-TensorBoard workflow
+(the reference's start-tensorboard.sh) an OPT-IN event-file sink
+(``logging: tensorboard_events: true``) additionally writes standard TB
+scalar events next to the JSONL.
 """
 
 import json
@@ -14,31 +16,53 @@ import time
 
 import jax
 
-from video_learning_tpu.utils import info
+from video_learning_tpu.utils import info, warning
 
 
 class MetricsWriter:
-    """Append-only JSONL scalar writer (per-run, per-phase)."""
+    """Append-only JSONL scalar writer (per-run, per-phase), with an
+    optional TensorBoard event-file sink (``events=True``)."""
 
-    def __init__(self, folder, run_id, timestamp=None):
+    def __init__(self, folder, run_id, timestamp=None, events=False):
         os.makedirs(folder, exist_ok=True)
         # timestamped like the run logs so re-runs of the same run_id get
         # their own metrics stream instead of appending
         suffix = ("%s_%s" % (run_id, timestamp)) if timestamp else run_id
         self.path = os.path.join(folder, "metrics_%s.jsonl" % suffix)
         self._f = open(self.path, "a", buffering=1)
+        self._tb = None
+        if events:
+            # TF is only imported when the sink is requested — the JSONL
+            # path must never pay the import or depend on TF's presence
+            try:
+                import tensorflow as tf
+                self._tb = tf.summary.create_file_writer(folder)
+                self._tf = tf
+                info("TensorBoard event sink enabled at %s" % folder)
+            except ImportError:
+                warning("logging.tensorboard_events requested but "
+                        "tensorflow is not importable; writing JSONL only")
 
     def write(self, step, **scalars):
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v)
                     for k, v in scalars.items()})
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            with self._tb.as_default(step=int(step)):
+                for k, v in scalars.items():
+                    if hasattr(v, "__float__"):
+                        self._tf.summary.scalar(k, float(v))
 
     def flush(self):
         self._f.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class StepProfiler:

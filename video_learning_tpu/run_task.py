@@ -196,7 +196,9 @@ def main(init_file):
 
     model = Model(settings)
     writer = MetricsWriter(settings.tensorboard_folder, settings.run_id,
-                           settings.timestamp)
+                           settings.timestamp,
+                           events=getattr(settings, "tensorboard_events",
+                                          False))
 
     if settings.train:
         engine = Train(settings, feeder, model, seed=settings.seed)
