@@ -266,3 +266,27 @@ def test_read_buffer_ring_disabled_on_cpu_default(tmp_path, monkeypatch):
     d = Dataset.__new__(Dataset)
     d._native_shape = (8, 10, 3)
     assert d._read_buffers(4, 64) is None  # tests force the CPU platform
+
+
+def test_read_buffer_pool_lru_bounded(monkeypatch):
+    """Variable batch geometries (ragged cpv) must not leak buffer rings
+    without bound: the per-geometry pool is LRU-capped, and a geometry
+    seen again within the cap keeps its ring (no realloc thrash)."""
+    from video_learning_tpu.data.dataset import Dataset
+
+    monkeypatch.setenv("VLT_REUSE_READ_BUFFERS", "1")
+    d = Dataset.__new__(Dataset)
+    d._native_shape = (8, 10, 3)
+    cap = Dataset._BUF_POOL_GEOMETRIES
+    for count in range(1, 3 * cap):
+        buf = d._read_buffers(count, 4)
+        assert buf[0].shape == (count, 8, 10, 3)
+        assert len(d._buf_pools) <= cap
+    # most-recent geometries survive, oldest were evicted
+    kept = [k[0] for k in d._buf_pools]
+    assert kept == list(range(3 * cap - cap, 3 * cap))
+    # re-touching a kept geometry reuses its ring (same buffer objects)
+    key = next(iter(d._buf_pools))
+    ring_before = d._buf_pools[key][0]
+    d._read_buffers(key[0], 4)
+    assert d._buf_pools[key][0] is ring_before

@@ -181,6 +181,20 @@ def test_lr_schedule_offset():
     assert len(lrs) == 8
 
 
+def test_lr_schedule_exp_equals_staircase_reference_quirk():
+    """Reference parity pin: 'exp' decay yields the SAME schedule as
+    'staircase' — the reference's idx is always a multiple of decay_freq
+    when the fraction is taken (reference train.py:83-91), so the
+    smooth/jagged branch is dead there, and deliberately dead here (see
+    precompute_learning_rates docstring)."""
+    from video_learning_tpu.train import precompute_learning_rates
+    exp = precompute_learning_rates(
+        _settings(1.0, 1, ["exp", "interval", 4, 0.5]), 12)
+    stair = precompute_learning_rates(
+        _settings(1.0, 1, ["staircase", "interval", 4, 0.5]), 12)
+    assert exp == stair == [1.0] * 4 + [0.5] * 4 + [0.25] * 4
+
+
 def test_lr_schedule_none_decay():
     from video_learning_tpu.train import precompute_learning_rates
     lrs = precompute_learning_rates(_settings(0.3, 2, None), 5)

@@ -244,9 +244,14 @@ class Settings:
             self.compute_dtype = str(config["compute_dtype"])
         self.remat = bool(config.get("remat", False))
         self.checkpoint_backend = str(config.get("checkpoint_backend",
-                                                 "pickle"))
-        if self.checkpoint_backend not in ("pickle", "orbax"):
-            error("checkpoint_backend must be 'pickle' or 'orbax'")
+                                                 "npz"))
+        if self.checkpoint_backend == "pickle":
+            # historical name for the default backend; the format written
+            # has always been the data-only .npz (checkpoint.py) — accept
+            # and normalize so old configs keep working
+            self.checkpoint_backend = "npz"
+        if self.checkpoint_backend not in ("npz", "orbax"):
+            error("checkpoint_backend must be 'npz' or 'orbax'")
 
         # phases + run id (settings_.py:219-239)
         self.phases = defs.check(config["phase"], defs.phase)

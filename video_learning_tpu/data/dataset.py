@@ -313,6 +313,9 @@ class Dataset:
     # aliased buffer must never be rewritten.  VLT_REUSE_READ_BUFFERS=1/0
     # forces either way.
     _BUF_RING = 4
+    # distinct batch geometries kept alive at once (steady state is 2:
+    # the full batch + the epoch tail); LRU-evicted beyond this
+    _BUF_POOL_GEOMETRIES = 4
 
     @staticmethod
     def _reuse_buffers_default():
@@ -332,18 +335,27 @@ class Dataset:
         key = (count, h, w, d, max_labels)
         pools = getattr(self, "_buf_pools", None)
         if pools is None:
+            # insertion-ordered dict as an LRU over batch geometries
             pools = self._buf_pools = {}
-        pool = pools.get(key)
+        pool = pools.pop(key, None)
         if pool is None:
             # one ring per batch geometry: variable-cpv datasets and epoch
             # tail batches cycle between a few sizes — each keeps its own
             # ring instead of thrashing a single one (reallocation was the
-            # cost this pool exists to remove)
+            # cost this pool exists to remove).  Bounded: a dataset whose
+            # geometry varies per batch (ragged cpv under epoch_shuffle)
+            # would otherwise retain 4 full-batch buffers per DISTINCT
+            # count forever — evict the least-recently-used geometry
+            # beyond the cap (in-flight batches stay alive through their
+            # own references; eviction only drops the pool's)
+            while len(pools) >= self._BUF_POOL_GEOMETRIES:
+                pools.pop(next(iter(pools)))
             ring = [(np.empty((count, h, w, d), np.uint8),
                      np.empty((count, max_labels), np.int32),
                      np.empty((count,), np.int32))
                     for _ in range(self._BUF_RING)]
-            pool = pools[key] = [ring, 0]
+            pool = [ring, 0]
+        pools[key] = pool  # (re-)insert at the most-recent position
         buffers = pool[0][pool[1]]
         pool[1] = (pool[1] + 1) % self._BUF_RING
         return buffers

@@ -202,12 +202,20 @@ class Feeder:
         handled by checkpoint.py.  ``batch_index`` overrides the feeder's
         live cursor (needed when batches are prefetched ahead)."""
         from video_learning_tpu import checkpoint as ckpt_mod
+        # multi-controller runs share the run folder; params are global
+        # (replicated/GSPMD) and every host reaches should_save at the
+        # same step with the same cursor, so exactly one process writes —
+        # concurrent writers would race on the same .tmp path and the
+        # prune's exists/remove pair
+        import jax
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return None
         folder = os.path.join(self.run_folder, "checkpoints")
         os.makedirs(folder, exist_ok=True)
         base = os.path.join(folder,
                             "%s_%s.ckpt" % (get_datetime_str(), progress))
         info("Saving checkpoint to [%s]" % base)
-        if getattr(self, "checkpoint_backend", "pickle") == "orbax":
+        if getattr(self, "checkpoint_backend", "npz") == "orbax":
             ckpt_mod.save_checkpoint_orbax(base, state)
         else:
             ckpt_mod.save_checkpoint(base, state)

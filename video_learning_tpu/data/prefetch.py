@@ -28,6 +28,17 @@ class FeedPrefetcher:
         self.required_input = required_input
         self.prepare_fn = prepare_fn
         self.depth = max(1, depth)
+        # the datasets' reusable read-buffer ring must outlast every
+        # in-flight batch: producer(1) + queue(depth) + consumer(1).  A
+        # deeper prefetch with ring reuse enabled would silently rewrite
+        # pixels still queued — refuse loudly instead.
+        from video_learning_tpu.data.dataset import Dataset
+        if self.depth + 2 > Dataset._BUF_RING:
+            from video_learning_tpu.utils import error
+            error("Prefetch depth %d needs a read-buffer ring >= %d "
+                  "(Dataset._BUF_RING is %d); raise the ring or lower "
+                  "the depth" % (self.depth, self.depth + 2,
+                                 Dataset._BUF_RING))
 
     def __iter__(self):
         q = queue.Queue(maxsize=self.depth)

@@ -44,7 +44,17 @@ from video_learning_tpu.utils import error, info
 
 def precompute_learning_rates(settings, num_batches):
     """Host-side full schedule with reference semantics
-    (train.py:50-109)."""
+    (train.py:50-109).
+
+    Reference quirk preserved ON PURPOSE: ``exp`` produces the same
+    schedule as ``staircase``.  In the reference (train.py:83-91), idx
+    only ever holds multiples of decay_freq when the fraction is
+    computed, so ``idx / decay_freq`` (smooth) is always the same
+    integer as ``idx // decay_freq`` (jagged) — its "smoothly" log
+    message notwithstanding.  Reproducing the schedule exactly keeps
+    every reference config training identically here; a truly smooth
+    per-batch exponential would silently change training dynamics.
+    The quirk is pinned by test_robustness.py."""
     base_lr = settings.train.base_lr
     decay_params = settings.train.lr_decay
     total = num_batches * settings.train.epochs
@@ -347,8 +357,10 @@ class Train:
 
     # --------------------------------------------------- state (ckpt I/O)
     def state_dict(self):
-        leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
-        self._opt_treedef = treedef
+        # only the LEAVES are stored; load_state_dict re-derives the
+        # treedef from the live opt_state (the optimizer config defines
+        # the structure, not the checkpoint)
+        leaves, _ = jax.tree_util.tree_flatten(self.opt_state)
         return {
             "params": jax.tree_util.tree_map(np.asarray, self.params),
             "opt_state_leaves": [np.asarray(l) for l in leaves],
