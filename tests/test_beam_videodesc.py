@@ -355,6 +355,10 @@ def test_beam_input_bias_width_one_equals_greedy():
     dropped un-scored visual pre-roll step."""
     params, out_fc, emb, visual = _decoder_setup(seed=9)
     T, H = 5, 8
+    # input_bias feeds the visual through the word slot: production
+    # projects it to the embedding dim first (pipeline state_fc), and a
+    # wider visual is now a loud error — mirror the projected shape here
+    visual = visual[:, :emb.shape[1]]
     greedy = lstm_mod.greedy_decode(
         params, out_fc, visual, emb, 0, T, H,
         defs.rnn_visual_mode.input_bias)
@@ -381,6 +385,7 @@ def test_beam_input_bias_wider_beam_not_worse():
     under input_bias (same property test as the state_bias variant)."""
     params, out_fc, emb, visual = _decoder_setup(seed=11)
     T, H = 6, 8
+    visual = visual[:, :emb.shape[1]]  # see width-one test above
     b1 = lstm_mod.beam_decode(
         params, out_fc, visual, emb, 0, eos_index=1, sequence_len=T,
         num_hidden=H, visual_mode=defs.rnn_visual_mode.input_bias,

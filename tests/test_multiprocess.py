@@ -51,6 +51,9 @@ WORKER = textwrap.dedent("""
         num_classes=4, fpc=2, image=67, lstm=(16, 1), batch_size=4,
         compute_dtype="float32", mesh_shape={"data": 4}, num_batches=2,
         base_lr=0.05, lr_mult=None)
+    # the 4-step loss-decrease assertion must not ride on dropout-mask
+    # luck — this test is about multi-controller mechanics
+    settings.train.dropout_keep_prob = 1.0
     engine = Train(settings, settings.feeder, model, seed=0)
     engine.place_params()
 

@@ -147,6 +147,11 @@ def image_ids_from_paths_file(record_path, start_index, count):
     COCO_val2014_000000000042.jpg -> 42."""
     parts = record_path.split(".")
     image_paths_file = ".".join(parts[:-1])
+    if not image_paths_file or not os.path.exists(image_paths_file):
+        from video_learning_tpu.utils import error
+        error("Cannot recover image ids: no paths file next to record "
+              "[%s] (expected [%s] — records pack as <paths>.tfrecord)"
+              % (record_path, image_paths_file or "<empty>"))
     ids = []
     item_no = 0  # dataset items skip blank lines, so count non-blank only
     with open(image_paths_file, "r") as fp:

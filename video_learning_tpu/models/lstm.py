@@ -248,13 +248,20 @@ def greedy_decode(params, out_fc_params, visual, embedding_matrix,
 
 
 def _pad_to(x, dim):
-    """Zero-pad/truncate the trailing dim (input_bias feeds the visual
-    vector through the word-embedding input slot, lstm.py:225-231)."""
+    """Zero-pad the trailing dim (input_bias feeds the visual vector
+    through the word-embedding input slot, lstm.py:225-231).  A WIDER
+    visual is an error — the reference's ibias concat fails loudly on
+    mismatched dims (tf_util.py:153-176) and the pipeline builder
+    projects the visual to the embedding dim (state_fc); silently
+    truncating conditioning information would degrade decode quality
+    with no signal."""
     cur = x.shape[-1]
     if cur == dim:
         return x
     if cur > dim:
-        return x[..., :dim]
+        error("input_bias visual dim %d exceeds the embedding dim %d; "
+              "project the visual down first (pipeline state_fc)"
+              % (cur, dim))
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, dim - cur)])
 
 

@@ -281,10 +281,13 @@ class Model:
         caption training, (B, T) int32 indices when decode=True."""
         outputs = {}
         logits = None
-        for spec in self.specs:
+        for i, spec in enumerate(self.specs):
+            # distinct dropout stream per pipeline: two same-shaped
+            # dropout sites in different pipelines must not share a mask
+            rng_i = jax.random.fold_in(dropout_rng, i) \
+                if dropout_rng is not None else None
             logits = self._apply_pipeline(params[spec["name"]], spec, feed,
-                                          outputs, train, dropout_rng,
-                                          decode)
+                                          outputs, train, rng_i, decode)
             outputs[spec["name"]] = logits
         return logits
 
@@ -349,7 +352,9 @@ class Model:
                 logits = self._apply_captioner(p, spec, x, feed, train,
                                                dropout_rng, decode)
                 return logits
-            num_hidden, num_layers, lstm_fusion = net.lstm_params
+            # a 4th entry (rnn_visual_mode) is legal config even when the
+            # pipeline ends up non-caption (e.g. encoder-decoder reuse)
+            num_hidden, num_layers, lstm_fusion = net.lstm_params[:3]
             init_state = None
             if len(inputs) > 1:
                 state = fusion.replicate_auxiliary_tensor(
@@ -479,6 +484,16 @@ class Model:
             feed[key] = np.zeros((n,) + tuple(spec_src.shape), np.float32)
         n_items = self.num_labeled_items(batch_items)
         feed["labels"] = np.zeros((n_items, self.num_classes), np.int32)
+        if self.caption_dataset is not None:
+            # caption models additionally consume the framed word inputs
+            # (run_task._prepare_feed builds these from real batches)
+            dset = self.caption_dataset
+            T = dset.max_sequence_length
+            E = int(np.asarray(dset.embedding_matrix).shape[1])
+            feed["caption_words"] = np.zeros((batch_items * T, E),
+                                             np.float32)
+            feed["caption_lengths"] = np.ones((batch_items,), np.int32)
+            feed["caption_mask"] = np.zeros((batch_items, T), np.float32)
         return feed
 
     def num_labeled_items(self, batch_items):

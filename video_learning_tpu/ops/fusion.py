@@ -70,9 +70,20 @@ def apply_tensor_list_fusion(inputs, fusion_method, dims, fpcs, cpvs):
         return (jnp.max(jnp.stack(inputs), axis=0), dims[0], fpcs[0],
                 cpvs[0])
     if fusion_method == defs.fusion_method.concat:
-        if cpv_ratio == 1:
+        if cpv_ratio == 1 or (cpv_ratio is None and len(set(cpvs)) == 1
+                              and len(set(fpcs)) == 1):
+            # plain column concat: 2 inputs at equal cpv (reference
+            # tf_util.py:148-149) or the N-way generalization when every
+            # input shares the geometry
             return (jnp.concatenate(inputs, axis=1), sum(dims), fpcs[0],
                     cpvs[0])
+        if cpv_ratio is None:
+            # the reference's aux path silently used inputs[:2] here,
+            # dropping the rest while reporting sum(dims) — fail loudly
+            error("concat input fusion with %d inputs requires equal "
+                  "cpv/fpc across inputs (got cpvs=%s fpcs=%s); tiled "
+                  "main(x)aux concat is 2-input only"
+                  % (len(inputs), cpvs, fpcs))
         aux = replicate_auxiliary_tensor(inputs[1], dims[1], cpvs[0], cpvs[1])
         return (vec_seq_concat(inputs[0], aux, fpcs[0]), sum(dims), fpcs[0],
                 cpvs[0])

@@ -178,7 +178,8 @@ def do_test(settings, val, params, feeder, model, writer):
         accuracy = val.get_accuracy()
         info("Validation run complete in [%s], accuracy: %2.5f"
              % (elapsed_str(tic), accuracy))
-        if val.validation_logits_save_interval is not None:
+        if val.validation_logits_save_interval is not None and \
+                jax.process_index() == 0:  # shared run folder: one writer
             import os
             with open(os.path.join(settings.run_folder,
                                    "accuracy_" + settings.run_id),

@@ -61,6 +61,12 @@ class Validation:
         self._src_leaf0 = None
         self._placed_params = None
         self._row_maps = {}
+        # multi-controller runs share the run folder: exactly one process
+        # persists artifacts (chunk pickles, coco json, accuracy files) —
+        # every host computes identical full-set metrics (val datasets
+        # are not host-sharded), so non-main hosts keep logits in memory
+        # instead of racing on the same paths
+        self._is_main_process = jax.process_index() == 0
         if model is not None:
             self._build_forward()
 
@@ -122,8 +128,12 @@ class Validation:
                 lambda x: x,
                 out_shardings=mesh_mod.replicated(self.mesh))(marker))
             rows = np.flatnonzero(gathered == pid)
-            assert len(rows) == n_local and len(gathered) == n_global, \
-                (len(rows), n_local, len(gathered), n_global)
+            # hard checks (not asserts: row misattribution under -O would
+            # silently pair another host's logits with local labels)
+            if len(rows) != n_local or len(gathered) != n_global:
+                error("Row-ownership map mismatch: %d local rows mapped "
+                      "of %d, %d global of %d"
+                      % (len(rows), n_local, len(gathered), n_global))
             self._row_maps[n_local] = rows
         return rows
 
@@ -163,6 +173,10 @@ class Validation:
             # (labels, tail padding, caption framing, dataset clip
             # bookkeeping) is host-local.  Return exactly this host's
             # rows so accumulation pairs logits with their own labels.
+            if out.shape[0] % procs != 0:
+                error("Global output rows %d not divisible by %d "
+                      "processes; per-host batches must be equal"
+                      % (out.shape[0], procs))
             n_local = out.shape[0] // procs
             out = out[self._local_rows(n_local, out.shape[0])]
         return out
@@ -233,6 +247,11 @@ class Validation:
     def save_validation_logits_chunk(self, save_all=False):
         """Chunked persistence of accumulated logits
         (reference val.py:115-148)."""
+        if not self._is_main_process:
+            # multi-controller: the run folder is shared — only process 0
+            # writes chunk files.  Non-main hosts keep their (identical)
+            # logits in memory so get_accuracy still works everywhere.
+            return
         if self.validation_logits_save_interval is None or \
                 len(self.item_logits) == 0:
             return
@@ -306,6 +325,12 @@ class Validation:
         if settings.captioning.eval_type != defs.eval_type.coco:
             error("Unsupported eval type %s"
                   % settings.captioning.eval_type)
+        if not self._is_main_process:
+            # shared run folder: results/eval json written once; every
+            # host decoded the identical full val set
+            info("Skipping caption artifact writes on process %d"
+                 % jax.process_index())
+            return None
         dataset = settings.feeder.get_dataset_by_tag(
             defs.dataset_tag.main)[0]
         ids_captions = []
@@ -314,8 +339,21 @@ class Validation:
             ids_captions = dataset.validation_logits_to_captions(
                 caption_rows, 0)
         else:
+            # replay persisted DECODE chunks (rows of word indices).  A
+            # caption run that accumulated nothing has nothing to score —
+            # and classification logits chunks must never be interpreted
+            # as word indices.
+            if self.validation_logits_save_counter == 0:
+                error("No decoded caption rows were passed and no saved "
+                      "chunks exist; run the val phase with a caption "
+                      "model first")
             for idx in range(self.validation_logits_save_counter):
                 chunk = self.load_validation_logits_chunk(idx)
+                if np.asarray(chunk).dtype.kind != "i":
+                    error("Saved chunk %d holds %s data, not integer word "
+                          "indices — these are classification logits, "
+                          "not decoded captions"
+                          % (idx, np.asarray(chunk).dtype))
                 ids_captions.extend(
                     dataset.validation_logits_to_captions(chunk, num))
                 num += len(chunk)
