@@ -8,14 +8,18 @@ dominant color/texture class, so overfitting the tiny set to a high
 BLEU/CIDEr validates the full caption chain — conditioning, teacher-forced
 training, greedy feedback decode, id recovery, and the coco metrics.
 
-The optimizer settings are load-bearing: the encoder must train at a far
-lower rate than the caption head (two-tier LR, the reference's
-fine-tuning scheme).  With a single-tier Adam rate the from-scratch
-encoder's activations inflate (Adam's normalized steps keep moving
-gradient-starved conv weights), the state_bias conditioning saturates
-tanh identically for every image, and decode collapses to one caption —
-teacher-forced loss keeps falling the whole time, so only the decoded
-strings reveal it.
+Like the reference's imgdesc workflow, the encoder starts from a
+bvlc-schema weights file (synthesized here at bvlc-like scales) and
+fine-tunes under two-tier LR.  This is load-bearing, not cosmetic: a
+from-scratch AlexNet's ReLU activations reach O(1e4) at fc6, so the
+state_bias conditioning (raw mapped vector as the LSTM's (c, h), same
+as the reference's get_state_tuple) saturates every tanh to a sign
+pattern that coincides across images — decode collapses to ONE caption
+for all images while the teacher-forced loss settles exactly at the
+ignore-the-image entropy floor ((log3 + log2)/5 ~= 0.358 on these
+captions).  Only the decoded strings reveal it.  Pretrained-scale convs
+keep fc6 activations O(1), exactly the regime the reference's
+fine-tuning recipe assumes.
 
 Usage: python prepare_captioning.py <workdir>
 Then:  bash run_captioning.sh <workdir>
@@ -80,6 +84,29 @@ def synthesize(root):
     return paths_file
 
 
+def write_pretrained_npy(root):
+    """Synthesize a bvlc-schema weights file at bvlc-like activation
+    scales — conv stack AND fc6, like the real bvlc_alexnet.npy the
+    reference fine-tunes from (its fresh-init path is only ever used for
+    fc8).  fc6 is sized for this example's 96x96 crop and scaled so the
+    encoder output lands in O(1) — the regime where the state_bias tanh
+    stays differentiable (see module docstring)."""
+    from video_learning_tpu.models.alexnet import conv_output_flat_dim
+    rng = np.random.RandomState(11)
+    specs = {"conv1": (11, 11, 3, 96), "conv2": (5, 5, 48, 256),
+             "conv3": (3, 3, 256, 384), "conv4": (3, 3, 192, 384),
+             "conv5": (3, 3, 192, 256)}
+    net_data = {name: [rng.randn(*shp).astype(np.float32) * 0.01,
+                       np.full(shp[-1], 0.1, np.float32)]
+                for name, shp in specs.items()}
+    fc6_in = conv_output_flat_dim((CROP, CROP, 3))
+    net_data["fc6"] = [rng.randn(fc6_in, 4096).astype(np.float32) * 3e-5,
+                       np.zeros(4096, np.float32)]
+    path = os.path.join(root, "pretrained_convs.npy")
+    np.save(path, np.asarray(net_data, dtype=object), allow_pickle=True)
+    return path
+
+
 def write_configs(root, paths_file):
     pack = {"serialize": {
         "output_folder": None, "path_prepend_folder": None,
@@ -117,7 +144,9 @@ def write_configs(root, paths_file):
             "pipelines": [
                 {"enc": {"input": "defs.dataset_tag.main",
                          "representation": "defs.representation.dcnn",
-                         "frame_encoding_layer": "fc6"}},
+                         "frame_encoding_layer": "fc6",
+                         "weights_file": os.path.join(
+                             root, "pretrained_convs.npy")}},
                 {"capt": {"input": "enc",
                           "representation": "defs.representation.nop",
                           "classifier": "defs.classifier.lstm",
@@ -126,7 +155,7 @@ def write_configs(root, paths_file):
         "train": {"batch_size": 3, "epochs": EPOCHS,
                   "optimizer": "defs.optim.adam", "base_lr": 0.0003,
                   "lr_mult": 30.0, "lr_decay": None, "clip_norm": 5,
-                  "dropout_keep_prob": 0.9},
+                  "dropout_keep_prob": 1.0},
         "val": {"batch_size": 3, "logits_save_interval": -1,
                 "clip_fusion": ["defs.fusion_type.late",
                                 "defs.fusion_method.avg"]},
@@ -156,6 +185,7 @@ def main():
                            else "captioning_example")
     os.makedirs(root, exist_ok=True)
     paths_file = synthesize(root)
+    write_pretrained_npy(root)
     write_configs(root, paths_file)
     print("Prepared captioning example under %s" % root)
     print("Next: bash run_captioning.sh %s" % root)
