@@ -122,6 +122,73 @@ def test_checkpoint_pruning_max_to_keep(tmp_path):
     assert len(snaps) == 2  # sidecars pruned along
 
 
+def _async_feeder(tmp_path):
+    from video_learning_tpu.data.feeder import Feeder
+
+    class T:
+        epochs = 3
+        epoch_index = 0
+        batch_size = 1
+
+    feeder = Feeder(defs.input_mode.video, [defs.phase.train], (T(), None),
+                    1.0, str(tmp_path), False)
+    feeder.phase = defs.phase.train
+    feeder.train = T()
+    feeder.datasets = {defs.phase.train: []}
+    feeder.get_batch_index = lambda: 7
+    feeder.checkpoint_async = True
+    return feeder
+
+
+def test_async_checkpoint_save_and_restore(tmp_path):
+    """checkpoint_async writes the same artifacts as the sync path: the
+    params archive, the .snap sidecar (recording the position at SUBMIT
+    time), and max_to_keep pruning — and finish_saves() joins cleanly."""
+    import time
+    from video_learning_tpu import checkpoint as ckpt_mod
+
+    feeder = _async_feeder(tmp_path)
+    feeder.num_saves = 2
+    feeder.save_interval = 1
+    paths = []
+    for step in range(4):
+        paths.append(feeder.save({"params": {"w": np.full(3, step * 1.0)}},
+                                 "ep_%d" % step, step))
+        feeder.get_batch_index = lambda s=step: s  # moves between saves
+        time.sleep(0.01)
+    feeder.finish_saves()
+    remaining = sorted(f for f in os.listdir(tmp_path / "checkpoints")
+                       if f.endswith(".ckpt"))
+    assert len(remaining) == 2          # pruning ran on the worker
+    state = {"params": {"w": np.zeros(3)}}
+    ckpt_mod.restore_checkpoint(paths[-1], state)
+    assert np.allclose(state["params"]["w"], 3.0)
+    import json
+    with open(paths[-1] + ".snap") as f:
+        snap = json.load(f)
+    assert snap == [7, 0, 3] or snap == [2, 0, 3]  # cursor at submit time
+
+
+def test_async_checkpoint_error_propagates(tmp_path, monkeypatch):
+    """A failed background write must surface on the main thread at the
+    next save/finish_saves, not vanish with the worker."""
+    from video_learning_tpu import checkpoint as ckpt_mod
+
+    feeder = _async_feeder(tmp_path)
+
+    def boom(path, state):
+        raise IOError("disk full")
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", boom)
+    feeder.save({"params": {"w": np.ones(3)}}, "ep_0", 0)
+    with pytest.raises(IOError, match="disk full"):
+        feeder.finish_saves()
+    # the error is consumed: a later save starts clean
+    monkeypatch.undo()
+    feeder.save({"params": {"w": np.ones(3)}}, "ep_1", 1)
+    feeder.finish_saves()
+
+
 def test_should_save_cadence():
     from video_learning_tpu.data.feeder import Feeder
     feeder = Feeder(defs.input_mode.video, [defs.phase.train],

@@ -192,6 +192,39 @@ def test_train_with_device_preprocess(packed_tree):
     assert all(np.isfinite(l["loss"]) for l in lines)
 
 
+def test_train_with_async_checkpointing(packed_tree):
+    """checkpoint_async: True through the full CLI driver — background
+    writes produce resumable checkpoints identical in contract to the
+    sync path (resume restores position and finishes the run)."""
+    from video_learning_tpu import run_task
+    import yaml
+    tmp_path, tree = packed_tree
+    cfg, run_folder = _run_config(tmp_path, tree, "train", epochs=1)
+    import shutil
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+    docs = yaml.safe_load(cfg.read_text())
+    docs["run"]["checkpoint_async"] = True
+    cfg2 = tmp_path / "run_async.yml"
+    cfg2.write_text(yaml.safe_dump(docs))
+    run_task.main(str(cfg2))
+    ckpt_dir = run_folder / "checkpoints"
+    assert sorted(ckpt_dir.glob("*.ckpt"))
+    assert sorted(ckpt_dir.glob("*.snap"))
+    # resume from the async-written checkpoint for a second epoch
+    cfg3, _ = _run_config(tmp_path, tree, "train", resume="latest",
+                          epochs=2)
+    docs = yaml.safe_load(cfg3.read_text())
+    docs["run"]["checkpoint_async"] = True
+    cfg4 = tmp_path / "run_async_resume.yml"
+    cfg4.write_text(yaml.safe_dump(docs))
+    run_task.main(str(cfg4))
+    latest = max(ckpt_dir.glob("*.snap"), key=os.path.getmtime)
+    with open(latest, "r") as f:
+        _, epoch_idx, gstep = json.load(f)
+    assert gstep == 4 and epoch_idx == 1
+
+
 def test_validate_clip_batch_mode(packed_tree):
     """batch_item=clip validation through the CLI driver: clips stream in
     fixed-size batches and fuse into videos as each cpv completes."""

@@ -159,6 +159,45 @@ def restore_checkpoint(path, state, ignorable_names=None, strict=False):
     return state
 
 
+class AsyncSaver:
+    """Background checkpoint writer: one worker at a time, submit() joins
+    the previous write first (bounding in-flight state copies to one) and
+    re-raises any error it hit, so a failed save cannot pass silently.
+
+    The expensive parts of a save — the ``.npz`` zip write or the Orbax
+    array serialization — are pure host work on an already-materialized
+    numpy snapshot (Train.state_dict copies device arrays to host before
+    save is called), so running them on a thread overlaps checkpointing
+    with the next training steps.  ``wait()`` must be called before the
+    process exits (run_task calls it after the training loop)."""
+
+    def __init__(self):
+        self._thread = None
+        self._failure = None
+
+    def submit(self, fn):
+        import threading
+        self.wait()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:     # re-raised on the main thread
+                self._failure = e
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="vlt-ckpt-writer")
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._failure is not None:
+            failure, self._failure = self._failure, None
+            raise failure
+
+
 def delete_checkpoint(path):
     for suffix in ("", ".snap"):
         target = path + suffix

@@ -252,6 +252,9 @@ class Settings:
             self.checkpoint_backend = "npz"
         if self.checkpoint_backend not in ("npz", "orbax"):
             error("checkpoint_backend must be 'npz' or 'orbax'")
+        # overlap checkpoint writes with training (checkpoint.AsyncSaver);
+        # the final save is always joined before the process exits
+        self.checkpoint_async = bool(config.get("checkpoint_async", False))
 
         # phases + run id (settings_.py:219-239)
         self.phases = defs.check(config["phase"], defs.phase)
@@ -371,6 +374,7 @@ class Settings:
                              self.save_freq_per_epoch, self.run_folder,
                              self.should_resume())
         self.feeder.checkpoint_backend = self.checkpoint_backend
+        self.feeder.checkpoint_async = self.checkpoint_async
         for dataid, dataobj in config.get("data", {}).items():
             dataset_phase = defs.check(dataobj["phase"], defs.phase)
             if dataset_phase not in self.phases:

@@ -37,6 +37,8 @@ class Feeder:
         self.save_freq_per_epoch = save_freq_per_epoch
         self.save_interval = -1
         self.num_saves = 0
+        self.checkpoint_async = False
+        self._async_saver = None
 
     # -------------------------------------------------------------- set-up
     def add_dataset(self, dataset_phase, id, path, mean_image, prepend_folder,
@@ -215,21 +217,45 @@ class Feeder:
         base = os.path.join(folder,
                             "%s_%s.ckpt" % (get_datetime_str(), progress))
         info("Saving checkpoint to [%s]" % base)
-        if getattr(self, "checkpoint_backend", "npz") == "orbax":
-            ckpt_mod.save_checkpoint_orbax(base, state)
-        else:
-            ckpt_mod.save_checkpoint(base, state)
         if batch_index is None:
             batch_index = self.get_batch_index()
+        # snapshot the position NOW — an async write must record the
+        # cursor at submit time, not whatever it is when the thread runs
         snap = [batch_index,
                 self.train.epoch_index if self.train else 0,
                 int(global_step)]
-        # JSON (data-only) — resuming a tampered sidecar must not be able
-        # to execute code, unlike the round-1 pickle format
-        with open(base + ".snap", "w") as f:
-            json.dump(snap, f)
-        self._prune_checkpoints()
+        backend = getattr(self, "checkpoint_backend", "npz")
+
+        def write():
+            if backend == "orbax":
+                ckpt_mod.save_checkpoint_orbax(base, state)
+            else:
+                ckpt_mod.save_checkpoint(base, state)
+            # JSON (data-only) — resuming a tampered sidecar must not be
+            # able to execute code, unlike the round-1 pickle format;
+            # written strictly AFTER the params so a .snap's existence
+            # implies a complete checkpoint (resume_snap relies on it)
+            with open(base + ".snap", "w") as f:
+                json.dump(snap, f)
+            self._prune_checkpoints()
+
+        if getattr(self, "checkpoint_async", False):
+            if self._async_saver is None:
+                from video_learning_tpu.checkpoint import AsyncSaver
+                self._async_saver = AsyncSaver()
+            # ``state`` leaves are host-numpy snapshots (Train.state_dict),
+            # so later optimizer steps cannot mutate what the thread writes
+            self._async_saver.submit(write)
+        else:
+            write()
         return base
+
+    def finish_saves(self):
+        """Block until any in-flight async checkpoint write completes
+        (re-raising its error).  Must run before the process exits and
+        before reading back a just-written checkpoint."""
+        if getattr(self, "_async_saver", None) is not None:
+            self._async_saver.wait()
 
     def _prune_checkpoints(self):
         """Keep at most num_saves checkpoints (Saver max_to_keep semantics,

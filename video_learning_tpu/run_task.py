@@ -129,6 +129,9 @@ def do_train(settings, engine, feeder, model, writer):
             1 + settings.train.epoch_index, feeder.get_num_batches(),
             settings.global_step)
         feeder.save(engine.state_dict(), progress, settings.global_step)
+    # join any in-flight async checkpoint write (and surface its error)
+    # before the process is allowed to exit
+    feeder.finish_saves()
 
 
 def run_val_batch(settings, val, params, model, feed, batches, padding,
