@@ -225,6 +225,50 @@ def test_train_with_async_checkpointing(packed_tree):
     assert gstep == 4 and epoch_idx == 1
 
 
+def test_preemption_sigterm_saves_and_resumes(packed_tree, monkeypatch):
+    """SIGTERM mid-training (the cloud scheduler's grace signal before
+    reclaiming a preemptible TPU VM) saves a resumable checkpoint and
+    exits the loop cleanly; a resume run then finishes the full plan."""
+    from video_learning_tpu import run_task
+    from video_learning_tpu import observe
+    import signal
+    tmp_path, tree = packed_tree
+    cfg, run_folder = _run_config(tmp_path, tree, "train", epochs=3)
+    import shutil
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+
+    real_write = observe.MetricsWriter.write
+    fired = []
+
+    def write_and_sigterm(self, step, **metrics):
+        real_write(self, step, **metrics)
+        if not fired:       # first step only: deliver the grace signal
+            fired.append(step)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    monkeypatch.setattr(observe.MetricsWriter, "write", write_and_sigterm)
+    run_task.main(str(cfg))    # returns instead of dying on the signal
+    monkeypatch.undo()
+
+    ckpt_dir = run_folder / "checkpoints"
+    preempt = [p for p in ckpt_dir.glob("*.ckpt") if "_preempt" in p.name]
+    assert preempt, "no preemption checkpoint written"
+    with open(str(preempt[0]) + ".snap") as f:
+        batch_idx, epoch_idx, gstep = json.load(f)
+    assert (batch_idx, epoch_idx, gstep) == (1, 0, 1)
+    # the handler was restored after the loop
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+    cfg2, _ = _run_config(tmp_path, tree, "train", resume="latest",
+                          epochs=3)
+    run_task.main(str(cfg2))
+    latest = max(ckpt_dir.glob("*.snap"), key=os.path.getmtime)
+    with open(latest, "r") as f:
+        _, epoch_idx, gstep = json.load(f)
+    assert gstep == 6  # 3 epochs x 2 batches completed after the resume
+
+
 def test_validate_clip_batch_mode(packed_tree):
     """batch_item=clip validation through the CLI driver: clips stream in
     fixed-size batches and fuse into videos as each cpv completes."""

@@ -63,6 +63,30 @@ def _prepare_feed(feed, batches, model):
     return feed
 
 
+def _install_preempt_handler():
+    """Catch SIGTERM — the grace signal cloud schedulers send before
+    reclaiming a preemptible TPU VM — and record it instead of dying
+    mid-step, so the train loop can save a resumable checkpoint and exit
+    cleanly.  Returns (flag, restore_fn); flag["sig"] is set when the
+    signal arrives.  No-op when not on the main thread (signal handlers
+    can only be installed there, e.g. under some test harnesses)."""
+    import signal
+    flag = {"sig": None}
+
+    def handler(signum, frame):
+        flag["sig"] = signum
+
+    try:
+        prev = signal.signal(signal.SIGTERM, handler)
+    except ValueError:          # not the main thread
+        return flag, lambda: None
+
+    def restore():
+        signal.signal(signal.SIGTERM, prev)
+
+    return flag, restore
+
+
 def do_train(settings, engine, feeder, model, writer):
     """Epoch/batch training loop (reference run_task.py:25-81) with a
     background prefetcher overlapping host decode and device compute."""
@@ -70,6 +94,8 @@ def do_train(settings, engine, feeder, model, writer):
     required_input = model.required_input
     run_batch_count = 0
     min_train_loss = (1e9, -1)
+    preempt, restore_handler = _install_preempt_handler()
+    preempted = False
     profiler = None
     if getattr(settings, "profile_steps", None):
         from video_learning_tpu.observe import StepProfiler
@@ -113,6 +139,23 @@ def do_train(settings, engine, feeder, model, writer):
                 feeder.save(engine.state_dict(), progress,
                             engine.global_step,
                             batch_index=batch_index + 1)
+            if preempt["sig"] is not None:
+                info("Caught signal %d (preemption): saving checkpoint "
+                     "and stopping after %d batches this epoch."
+                     % (preempt["sig"], batch_index + 1))
+                progress = "ep_%d_btch_%d_gs_%d_preempt" % (
+                    1 + settings.train.epoch_index, batch_index + 1,
+                    engine.global_step)
+                feeder.save(engine.state_dict(), progress,
+                            engine.global_step,
+                            batch_index=batch_index + 1)
+                preempted = True
+                break
+        if preempted:
+            # mid-epoch stop: do NOT advance epoch_index or rewind — the
+            # .snap sidecar holds (batch_index, epoch) and resume restores
+            # the position O(1) (data/dataset.py restore)
+            break
         if run_batch_count > 0:
             info("Epoch [%d] training run complete."
                  % (1 + settings.train.epoch_index))
@@ -123,7 +166,8 @@ def do_train(settings, engine, feeder, model, writer):
         feeder.rewind_datasets()
     info("Minimum training loss: %2.5f at global step %d"
          % min_train_loss)
-    if run_batch_count > 0 and not feeder.should_save(run_batch_count):
+    if run_batch_count > 0 and not preempted and \
+            not feeder.should_save(run_batch_count):
         info("Saving model checkpoint out of turn (training finished).")
         progress = "ep_%d_btch_%d_gs_%d" % (
             1 + settings.train.epoch_index, feeder.get_num_batches(),
@@ -132,6 +176,10 @@ def do_train(settings, engine, feeder, model, writer):
     # join any in-flight async checkpoint write (and surface its error)
     # before the process is allowed to exit
     feeder.finish_saves()
+    restore_handler()
+    if preempted:
+        info("Training preempted — resume with resume_file: latest to "
+             "continue from the saved position.")
 
 
 def run_val_batch(settings, val, params, model, feed, batches, padding,
