@@ -328,9 +328,12 @@ def run_eval(args):
     dset = settings.feeder.get_dataset_by_tag(defs.dataset_tag.main)[0]
     pre = make_preprocessor(dset.processor, out_dtype=model.compute_dtype)
 
+    quantize = "int8" if args.int8 else None
+
     def fwd(params, prms, frames):
         x = pre(frames, prms)
-        return model.apply(params, {"frames_main_input": x}, train=False)
+        return model.apply(params, {"frames_main_input": x}, train=False,
+                           quantize=quantize)
 
     n_frames = batch_clips * fpc
     rng = np.random.RandomState(0)
@@ -352,6 +355,8 @@ def run_eval(args):
     beat()
     clips_per_sec = batch_clips / sec
     metric = "eval_clips_per_sec_per_chip_lstm_acrec_fpc%d" % fpc
+    if args.int8:
+        metric += "_int8"
     if cpu_fallback:
         metric += "_CPUFALLBACK_tpu_unreachable"
     base = CPU_EVAL_BASELINE_CLIPS_PER_SEC
@@ -378,6 +383,8 @@ def main():
                     help="e2e with coupled per-batch H2D transfers")
     ap.add_argument("--eval", action="store_true",
                     help="forward-only serving throughput")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --eval: w8a8-quantize the frame encoder")
     args = ap.parse_args()
     if args.eval:
         return run_eval(args)

@@ -160,6 +160,64 @@ def test_alexnet_small_input():
     assert out.shape == (3, 4096)
 
 
+def test_alexnet_int8_serving_close_to_f32():
+    """apply_int8 (w8a8 PTQ serving forward) tracks the full-precision
+    forward: small relative error on features and logits, identical
+    truncation semantics.  Real image statistics via a mean-subtracted
+    uint8-range input."""
+    rng = np.random.RandomState(0)
+    params = alexnet.init(jax.random.PRNGKey(0), 10, "prob")
+    x = jnp.asarray(rng.randint(0, 256, (4, 67, 67, 3)) - 117.0,
+                    jnp.float32)
+    for layer in ("fc7", "prob"):
+        fc6_in = alexnet.conv_output_flat_dim((67, 67, 3))
+        p = alexnet.init(jax.random.PRNGKey(0), 10, layer, fc6_in=fc6_in)
+        ref = np.asarray(alexnet.apply(p, x, layer))
+        q = np.asarray(alexnet.apply_int8(p, x, layer))
+        assert q.shape == ref.shape
+        rel = np.linalg.norm(q - ref) / (np.linalg.norm(ref) + 1e-9)
+        assert rel < 0.06, "int8 %s rel err %.4f" % (layer, rel)
+    # top-1 agreement on the logits head
+    ref = np.asarray(alexnet.apply(p, x, "prob"))
+    q = np.asarray(alexnet.apply_int8(p, x, "prob"))
+    assert (ref.argmax(-1) == q.argmax(-1)).mean() >= 0.75
+
+
+def test_pipeline_quantize_int8_forward_and_train_guard():
+    """Model.apply(quantize='int8') runs the DAG with the quantized frame
+    encoder (DCNN -> LSTM) and is rejected in training mode (gradients
+    through int8 rounding are zero)."""
+    import pytest
+    from video_learning_tpu.models.pipeline import Model
+    from video_learning_tpu.utils import FrameworkError
+    from tests.test_pipeline_model import StubDataset, _net, _settings
+
+    ds = StubDataset("main", (67, 67, 3), 1, 2)
+    enc = _net(input=["main"], representation=defs.representation.dcnn,
+               frame_encoding_layer="fc6")
+    clf = _net(input=["enc"], representation=defs.representation.nop,
+               classifier=defs.classifier.lstm,
+               lstm_params=[12, 1, defs.fusion_method.avg])
+    s = _settings({"enc": enc, "clf": clf}, ["enc", "clf"], [ds],
+                  num_classes=4)
+    model = Model(s)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    feed = {"enc_main_input":
+            (rng.randint(0, 256, (4, 67, 67, 3)) - 117.0).astype(
+                np.float32)}
+    ref = np.asarray(model.apply(params, feed, train=False))
+    q = np.asarray(model.apply(params, feed, train=False,
+                               quantize="int8"))
+    assert q.shape == ref.shape == (2, 4)
+    assert np.all(np.isfinite(q))
+    rel = np.linalg.norm(q - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.1, "pipeline int8 rel err %.4f" % rel
+    with pytest.raises(FrameworkError, match="serving"):
+        model.apply(params, feed, train=True, quantize="int8",
+                    dropout_rng=jax.random.PRNGKey(1))
+
+
 def test_max_pool_valid():
     x = jnp.arange(2 * 7 * 7 * 1, dtype=jnp.float32).reshape(2, 7, 7, 1)
     y = max_pool(x, (3, 3), (2, 2), "VALID")

@@ -254,9 +254,9 @@ def test_pipeline_dispatches_through_vectorizer(monkeypatch):
     calls = []
     orig = vectorizer.FC.apply
 
-    def spy(self, params, x, compute_dtype=None):
+    def spy(self, params, x, compute_dtype=None, quant=None):
         calls.append(self.name)
-        return orig(self, params, x, compute_dtype)
+        return orig(self, params, x, compute_dtype, quant)
 
     monkeypatch.setattr(vectorizer.FC, "apply", spy)
     ds = StubDataset("main", (16,), 1, 1)

@@ -225,6 +225,30 @@ def test_train_with_async_checkpointing(packed_tree):
     assert gstep == 4 and epoch_idx == 1
 
 
+def test_validate_quantized_int8(packed_tree):
+    """val: quantize: int8 through the CLI driver — the w8a8 serving
+    forward produces a valid accuracy file on the same checkpoint."""
+    from video_learning_tpu import run_task
+    import yaml
+    tmp_path, tree = packed_tree
+    cfg, run_folder = _run_config(tmp_path, tree, "train", epochs=1)
+    import shutil
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+    run_task.main(str(cfg))
+
+    vcfg, _ = _run_config(tmp_path, tree, "val", resume="latest")
+    docs = yaml.safe_load(vcfg.read_text())
+    docs["run"]["val"]["quantize"] = "int8"
+    vcfg2 = tmp_path / "val_int8.yml"
+    vcfg2.write_text(yaml.safe_dump(docs))
+    run_task.main(str(vcfg2))
+    accf = [f for f in os.listdir(run_folder)
+            if f.startswith("accuracy_")][0]
+    acc = float((run_folder / accf).read_text())
+    assert 0.0 <= acc <= 1.0
+
+
 def test_preemption_sigterm_saves_and_resumes(packed_tree, monkeypatch):
     """SIGTERM mid-training (the cloud scheduler's grace signal before
     reclaiming a preemptible TPU VM) saves a resumable checkpoint and

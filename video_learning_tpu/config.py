@@ -66,6 +66,7 @@ class ValOpts:
     clip_fusion_type = None
     clip_fusion_method = None
     batch_item = defs.batch_item.default
+    quantize = None                 # "int8": w8a8 serving forward
 
 
 class CaptionOpts:
@@ -345,6 +346,11 @@ class Settings:
                                                      defs.fusion_type)
                     va.clip_fusion_method = defs.check(clip_fusion[1],
                                                        defs.fusion_method)
+                quant = obj.get("quantize")
+                if quant not in (None, "None", "int8"):
+                    error("val quantize must be 'int8' (w8a8 serving "
+                          "forward), got %r" % quant)
+                va.quantize = None if quant in (None, "None") else quant
                 self.val = va
 
         # captioning options (config.example.yml:93-97)

@@ -279,6 +279,48 @@ def apply(params, x, final_layer="prob", compute_dtype=None):
     return fc_apply(params["fc8"], x, compute_dtype)
 
 
+def apply_int8(params, x, final_layer="prob", compute_dtype=None):
+    """Forward pass with w8a8 post-training quantization for SERVING
+    (forward-only; see layers.conv_apply_int8).  conv2..conv5 and the FC
+    stack run int8 on the MXU (2x bf16 peak); conv1 stays in the compute
+    dtype — its C_in=3 contraction is lane-bound, not FLOP-bound, so int8
+    buys nothing there and the stem keeps full input fidelity.  LRN and
+    pooling are unchanged (HBM-bound, activations stay bf16-resident).
+    Same truncation semantics as apply()."""
+    from video_learning_tpu.models.layers import (conv_apply_int8,
+                                                  fc_apply_int8)
+    if final_layer is None:
+        final_layer = "prob"
+    out_dtype = compute_dtype or jnp.bfloat16
+
+    def conv_q(name, inp):
+        _, _, _, _, stride, groups = _CONV_SPECS[name]
+        return conv_apply_int8(params[name], inp, (stride, stride),
+                               "SAME", groups=groups, relu=True,
+                               out_dtype=out_dtype)
+
+    x = conv_apply(params["conv1"], x, (4, 4), "SAME", groups=1,
+                   relu=True, compute_dtype=compute_dtype)
+    x = local_response_normalization(x)
+    x = max_pool(x, (3, 3), (2, 2), "VALID")
+    x = conv_q("conv2", x)
+    x = local_response_normalization(x)
+    x = max_pool(x, (3, 3), (2, 2), "VALID")
+    x = conv_q("conv3", x)
+    x = conv_q("conv4", x)
+    x = conv_q("conv5", x)
+    x = max_pool(x, (3, 3), (2, 2), "VALID")
+    x = x.reshape(x.shape[0], flat_dim(x.shape[1:]))
+
+    x = jax.nn.relu(fc_apply_int8(params["fc6"], x))
+    if final_layer == "fc6":
+        return x
+    x = jax.nn.relu(fc_apply_int8(params["fc7"], x))
+    if final_layer == "fc7":
+        return x
+    return fc_apply_int8(params["fc8"], x)
+
+
 def output_dim(final_layer, num_classes):
     if final_layer in ("fc6", "fc7"):
         return _FC_DIM

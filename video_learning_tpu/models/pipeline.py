@@ -275,10 +275,16 @@ class Model:
 
     # --------------------------------------------------------------- apply
     def apply(self, params, feed, train=False, dropout_rng=None,
-              decode=False):
+              decode=False, quantize=None):
         """Run the full DAG.  feed: {input_key: array}.  Returns logits —
         (num_items, num_classes) for classification, (B*T, num_classes) for
-        caption training, (B, T) int32 indices when decode=True."""
+        caption training, (B, T) int32 indices when decode=True.
+        quantize="int8" selects the w8a8 serving forward for the frame
+        encoders (forward-only; rejected in training)."""
+        if quantize is not None and train:
+            error("quantize=%s is a serving (forward-only) mode; "
+                  "training gradients through int8 rounding are zero"
+                  % quantize)
         outputs = {}
         logits = None
         for i, spec in enumerate(self.specs):
@@ -287,12 +293,13 @@ class Model:
             rng_i = jax.random.fold_in(dropout_rng, i) \
                 if dropout_rng is not None else None
             logits = self._apply_pipeline(params[spec["name"]], spec, feed,
-                                          outputs, train, rng_i, decode)
+                                          outputs, train, rng_i, decode,
+                                          quantize)
             outputs[spec["name"]] = logits
         return logits
 
     def _apply_pipeline(self, p, spec, feed, outputs, train, dropout_rng,
-                        decode):
+                        decode, quantize=None):
         net, name = spec["net"], spec["name"]
         inputs, dims, fpcs, cpvs = [], [], [], []
         for src in spec["sources"]:
@@ -323,7 +330,8 @@ class Model:
         vec = spec["vectorizer"]
 
         def vec_fn(vp, inp):
-            return vec.apply(vp, inp, compute_dtype=self.compute_dtype)
+            return vec.apply(vp, inp, compute_dtype=self.compute_dtype,
+                             quant=quantize)
         if vec.supports_remat and getattr(self.settings, "remat", False):
             # rematerialize the frame encoder's activations in the
             # backward pass: trades FLOPs for HBM, enabling larger

@@ -61,7 +61,7 @@ class Vectorizer:
         ``in_dim`` (static metadata for the DAG resolve pass)."""
         return in_dim
 
-    def apply(self, params, x, compute_dtype=None):
+    def apply(self, params, x, compute_dtype=None, quant=None):
         raise NotImplementedError
 
 
@@ -69,7 +69,7 @@ class NOP(Vectorizer):
     name = "nop"
     description = "Does not transform input"
 
-    def apply(self, params, x, compute_dtype=None):
+    def apply(self, params, x, compute_dtype=None, quant=None):
         return x
 
 
@@ -101,8 +101,12 @@ class DCNN(Vectorizer):
         return alexnet.output_dim(self.frame_encoding_layer,
                                   self.num_classes)
 
-    def apply(self, params, x, compute_dtype=None):
+    def apply(self, params, x, compute_dtype=None, quant=None):
         self.require_input(x.shape, 3)
+        if quant == "int8":
+            # forward-only serving path (val/infer with quantize: int8)
+            return alexnet.apply_int8(params, x, self.frame_encoding_layer,
+                                      compute_dtype=compute_dtype)
         return alexnet.apply(params, x, self.frame_encoding_layer,
                              compute_dtype=compute_dtype)
 
@@ -125,7 +129,7 @@ class FC(Vectorizer):
     def output_dim(self, in_dim):
         return self.fc_output_dim
 
-    def apply(self, params, x, compute_dtype=None):
+    def apply(self, params, x, compute_dtype=None, quant=None):
         self.require_input(x.shape, 2)
         return convert_dim_fc_apply(params, x, compute_dtype)
 

@@ -175,7 +175,8 @@ def _softmax(logits):
 
 
 def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
-          fpc=None, cpv=None, out=None, workdir=None, batch_size=None):
+          fpc=None, cpv=None, out=None, workdir=None, batch_size=None,
+          int8=False):
     from video_learning_tpu import run_task
     from video_learning_tpu.batching import BatchGeometry
     from video_learning_tpu.config import Settings
@@ -246,6 +247,10 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
         if batch_size:
             val_cfg["batch_size"] = batch_size
         val_cfg.setdefault("batch_size", 8)
+        if int8:
+            # w8a8 serving forward for the frame encoders (models/layers
+            # conv_apply_int8; int8 MXU runs at 2x the bf16 peak on v5e)
+            val_cfg["quantize"] = "int8"
         if kind == "video" and not val_cfg.get("clip_fusion"):
             # video items always pass through clip fusion at accumulation
             val_cfg["clip_fusion"] = ["defs.fusion_type.late",
@@ -360,10 +365,13 @@ def main(argv=None):
                         help="keep intermediate packing here instead of "
                              "a deleted temp dir")
     parser.add_argument("--batch-size", type=int)
+    parser.add_argument("--int8", action="store_true",
+                        help="w8a8-quantize the frame encoders (serving "
+                             "PTQ; int8 MXU at 2x bf16 peak)")
     args = parser.parse_args(argv)
     return infer(args.config, args.media, args.checkpoint, args.topk,
                  args.classes, args.fpc, args.cpv, args.out, args.workdir,
-                 args.batch_size)
+                 args.batch_size, int8=args.int8)
 
 
 if __name__ == "__main__":

@@ -87,18 +87,24 @@ class Validation:
                     out_dtype=model.compute_dtype)
 
         pre = self._preprocessors
+        quantize = getattr(self.settings.val, "quantize", None)
+        if quantize:
+            info("Evaluation forward quantized: %s (w8a8 frame encoders)"
+                 % quantize)
 
         def forward(params, feed):
             feed = dict(feed)
             for key, p in pre.items():
                 feed[key] = p(feed[key], feed.pop(key + "/proc_params"))
-            return model.apply(params, feed, train=False)
+            return model.apply(params, feed, train=False,
+                               quantize=quantize)
 
         def decode(params, feed):
             feed = dict(feed)
             for key, p in pre.items():
                 feed[key] = p(feed[key], feed.pop(key + "/proc_params"))
-            return model.apply(params, feed, train=False, decode=True)
+            return model.apply(params, feed, train=False, decode=True,
+                               quantize=quantize)
 
         jit_kw = {}
         if self.mesh.size > 1:
