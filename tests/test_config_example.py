@@ -45,6 +45,39 @@ def test_config_example_parses(tmp_path):
     assert "rand_crop" in dsets[0].imgproc
 
 
+def test_val_quantize_validation(tmp_path):
+    """val.quantize accepts only 'int8'; typos must fail at parse time,
+    not silently run unquantized."""
+    import pytest
+    from video_learning_tpu.utils import FrameworkError
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "config.example.yml")) as f:
+        docs = yaml.safe_load(f)
+    run = docs["run"]
+    run["run_folder"] = str(tmp_path / "run")
+    run["network"]["pipelines"] = [
+        p for p in run["network"]["pipelines"]
+        if list(p)[0] not in ("spectros", "ibias")]
+    for p in run["network"]["pipelines"]:
+        for spec in p.values():
+            spec.pop("weights_file", None)
+    run["phase"] = "defs.phase.val"
+    for d in run["data"].values():
+        d["phase"] = "defs.phase.val"
+    run["val"] = {"batch_size": 2, "quantize": "int4"}
+    cfg_path = tmp_path / "cfg_q.yml"
+    cfg_path.write_text(yaml.safe_dump({"run": run}))
+    s = Settings()
+    with pytest.raises(FrameworkError, match="quantize"):
+        s.initialize_from_file(str(cfg_path))
+    # valid value parses
+    run["val"]["quantize"] = "int8"
+    cfg_path.write_text(yaml.safe_dump({"run": run}))
+    s2 = Settings()
+    s2.initialize_from_file(str(cfg_path))
+    assert s2.val.quantize == "int8"
+
+
 def test_serialize_example_section_parses(tmp_path):
     from video_learning_tpu.data.serialize import SerializationSettings
     with open(os.path.join(os.path.dirname(os.path.dirname(
