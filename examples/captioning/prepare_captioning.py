@@ -91,11 +91,14 @@ def write_pretrained_npy(root):
     fc8).  fc6 is sized for this example's 96x96 crop and scaled so the
     encoder output lands in O(1) — the regime where the state_bias tanh
     stays differentiable (see module docstring)."""
-    from video_learning_tpu.models.alexnet import conv_output_flat_dim
+    from video_learning_tpu.models.alexnet import (_CONV_SPECS,
+                                                   conv_output_flat_dim)
     rng = np.random.RandomState(11)
-    specs = {"conv1": (11, 11, 3, 96), "conv2": (5, 5, 48, 256),
-             "conv3": (3, 3, 256, 384), "conv4": (3, 3, 192, 384),
-             "conv5": (3, 3, 192, 256)}
+    # kernel shapes come from the SAME table alexnet.init validates
+    # against — a drifted inline copy would silently fail the
+    # shape-match and fall back to fresh-init convs
+    specs = {name: (kh, kw, cin, cout)
+             for name, (kh, kw, cin, cout, _, _) in _CONV_SPECS.items()}
     net_data = {name: [rng.randn(*shp).astype(np.float32) * 0.01,
                        np.full(shp[-1], 0.1, np.float32)]
                 for name, shp in specs.items()}

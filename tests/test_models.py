@@ -218,6 +218,49 @@ def test_pipeline_quantize_int8_forward_and_train_guard():
                     dropout_rng=jax.random.PRNGKey(1))
 
 
+def test_quantize_params_matches_in_graph_quantize():
+    """alexnet.quantize_params (the once-per-checkpoint serving form) is
+    numerically IDENTICAL to the in-graph weight quantize — same scales,
+    same rounding — and Model.quantize_params wires it through the
+    pipeline params tree (the val._maybe_quantize path)."""
+    rng = np.random.RandomState(0)
+    p = alexnet.init(jax.random.PRNGKey(0), 10, "prob")
+    x = jnp.asarray(rng.randint(0, 256, (4, 67, 67, 3)) - 117.0,
+                    jnp.float32)
+    fc6_in = alexnet.conv_output_flat_dim((67, 67, 3))
+    p = alexnet.init(jax.random.PRNGKey(0), 10, "prob", fc6_in=fc6_in)
+    qp = alexnet.quantize_params(p)
+    assert "wq" in qp["conv2"] and "w" not in qp["conv2"]
+    assert "w" in qp["conv1"]          # stem stays full precision
+    a = np.asarray(alexnet.apply_int8(p, x, "prob"))
+    b = np.asarray(alexnet.apply_int8(qp, x, "prob"))
+    np.testing.assert_array_equal(a, b)
+
+    # pipeline-level: Model.quantize_params rewrites only the DCNN leaf
+    from video_learning_tpu.models.pipeline import Model
+    from tests.test_pipeline_model import StubDataset, _net, _settings
+    ds = StubDataset("main", (67, 67, 3), 1, 2)
+    enc = _net(input=["main"], representation=defs.representation.dcnn,
+               frame_encoding_layer="fc6")
+    clf = _net(input=["enc"], representation=defs.representation.nop,
+               classifier=defs.classifier.lstm,
+               lstm_params=[12, 1, defs.fusion_method.avg])
+    s = _settings({"enc": enc, "clf": clf}, ["enc", "clf"], [ds],
+                  num_classes=4)
+    model = Model(s)
+    params = model.init_params(jax.random.PRNGKey(0))
+    feed = {"enc_main_input":
+            (rng.randint(0, 256, (4, 67, 67, 3)) - 117.0).astype(
+                np.float32)}
+    qparams = model.quantize_params(params)
+    assert "wq" in qparams["enc"]["dcnn"]["conv2"]
+    out_raw = np.asarray(model.apply(params, feed, train=False,
+                                     quantize="int8"))
+    out_pre = np.asarray(model.apply(qparams, feed, train=False,
+                                     quantize="int8"))
+    np.testing.assert_array_equal(out_raw, out_pre)
+
+
 def test_max_pool_valid():
     x = jnp.arange(2 * 7 * 7 * 1, dtype=jnp.float32).reshape(2, 7, 7, 1)
     y = max_pool(x, (3, 3), (2, 2), "VALID")

@@ -321,6 +321,27 @@ def apply_int8(params, x, final_layer="prob", compute_dtype=None):
     return fc_apply_int8(params["fc8"], x)
 
 
+def quantize_params(params):
+    """Pre-quantize the int8-eligible layers ONCE per restored checkpoint:
+    conv2..conv5 / fc6..fc8 entries become {"wq", "ws", "b"}; conv1 (and
+    any absent truncated layers) pass through untouched.  apply_int8
+    consumes either form, but the serving loop should feed this one — an
+    in-graph weight quantize would otherwise re-run on every batch of
+    every eval (jit caches the trace, not loop-invariant work across
+    calls)."""
+    from video_learning_tpu.models.layers import quantize_sym
+    out = dict(params)
+    for name in ("conv2", "conv3", "conv4", "conv5"):
+        if name in out:
+            wq, ws = quantize_sym(out[name]["w"], axes=(0, 1, 2))
+            out[name] = {"wq": wq, "ws": ws, "b": out[name]["b"]}
+    for name in ("fc6", "fc7", "fc8"):
+        if name in out:
+            wq, ws = quantize_sym(out[name]["w"], axes=(0,))
+            out[name] = {"wq": wq, "ws": ws, "b": out[name]["b"]}
+    return out
+
+
 def output_dim(final_layer, num_classes):
     if final_layer in ("fc6", "fc7"):
         return _FC_DIM

@@ -183,10 +183,13 @@ def local_response_normalization(x, depth_radius=2, bias=1.0, alpha=2e-5,
 # ------------------------------------------------------- int8 (serving PTQ)
 def quantize_sym(x, axes):
     """Symmetric int8 quantization: q = clip(round(x / s), -127, 127) with
-    s = amax/127 reduced over ``axes`` (None: per-tensor).  Runs in-graph:
-    XLA fuses the quantize into the producer, and for serving the weight
-    quantize is loop-invariant work of ~1 ms/step on the whole AlexNet
-    (measured share of the --eval step; dwarfed by the matmul savings).
+    s = amax/127 reduced over ``axes`` (None: per-tensor).  Activation
+    quantization runs in-graph (XLA fuses it into the producer); WEIGHT
+    quantization should run ONCE per restored checkpoint via
+    alexnet.quantize_params — a jitted eval forward is retraced per call
+    site, not per step, but each `forward(params, feed)` invocation would
+    still re-execute an in-graph weight quantize every batch (there is no
+    device loop for XLA to hoist it out of).
     Returns (q int8, scale f32 broadcastable against x)."""
     a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
     scale = a / 127.0 + 1e-12
@@ -202,16 +205,25 @@ def conv_apply_int8(params, x, strides, padding, groups=1, relu=True,
     activation scale, int8xint8 -> int32 accumulation on the MXU (2x the
     bf16 peak on v5e), dequantize/bias/relu epilogue.  Numerics are NOT
     training-grade — gradients through the rounding are zero; callers
-    gate this behind forward-only entry points."""
-    w, b = params["w"], params["b"]
-    wq, ws = quantize_sym(w, axes=(0, 1, 2))      # (1, 1, 1, Cout)
+    gate this behind forward-only entry points.
+
+    ``params`` holds either a raw {"w", "b"} entry (quantized here,
+    in-graph — fine for one-shot tests/dryruns) or a pre-quantized
+    {"wq", "ws", "b"} entry from alexnet.quantize_params (the serving
+    path: weights quantized once per restored checkpoint, not once per
+    batch)."""
+    b = params["b"]
+    if "wq" in params:
+        wq, ws = params["wq"], params["ws"]       # (1, 1, 1, Cout)
+    else:
+        wq, ws = quantize_sym(params["w"], axes=(0, 1, 2))
     xq, xs = quantize_sym(x, axes=None)
     acc = jax.lax.conv_general_dilated(
         xq, wq, window_strides=tuple(strides), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * (xs * ws.reshape(1, 1, 1, -1))
+    y = acc.astype(jnp.float32) * (xs * ws)
     y = y + b.astype(jnp.float32)
     if relu:
         y = jax.nn.relu(y)
@@ -220,9 +232,13 @@ def conv_apply_int8(params, x, strides, padding, groups=1, relu=True,
 
 def fc_apply_int8(params, x):
     """w8a8 dense counterpart of fc_apply (per-output-column weight
-    scales); returns float32 like fc_apply."""
-    w, b = params["w"], params["b"]
-    wq, ws = quantize_sym(w, axes=(0,))           # (1, out_dim)
+    scales); returns float32 like fc_apply.  Accepts raw {"w", "b"} or
+    pre-quantized {"wq", "ws", "b"} entries like conv_apply_int8."""
+    b = params["b"]
+    if "wq" in params:
+        wq, ws = params["wq"], params["ws"]       # (1, out_dim)
+    else:
+        wq, ws = quantize_sym(params["w"], axes=(0,))
     xq, xs = quantize_sym(x, axes=None)
     acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)

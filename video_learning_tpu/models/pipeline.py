@@ -273,6 +273,35 @@ class Model:
     def get_ignorable_variable_names(self):
         return list(self._ignorables)
 
+    def quantize_params(self, params):
+        """Pre-quantize every int8-capable frame encoder's weights ONCE
+        per restored checkpoint (serving path; layers.conv_apply_int8
+        documents why in-graph weight quantization would re-run per
+        batch).  Pipelines whose representation has no int8 path keep
+        their params untouched; if NO pipeline quantizes, warns loudly —
+        the forward then runs fully unquantized."""
+        out = dict(params)
+        quantized = 0
+        for spec in self.specs:
+            vec = spec["vectorizer"]
+            if vec.param_key is None:
+                continue
+            sub = out.get(spec["name"]) or {}
+            vp = sub.get(vec.param_key)
+            if vp is None:
+                continue
+            qp = vec.quantize_params(vp)
+            if qp is not None:
+                sub = dict(sub)
+                sub[vec.param_key] = qp
+                out[spec["name"]] = sub
+                quantized += 1
+        if quantized == 0:
+            warning("quantize requested but no pipeline has an "
+                    "int8-capable frame encoder (DCNN) — the forward "
+                    "runs UNQUANTIZED")
+        return out
+
     # --------------------------------------------------------------- apply
     def apply(self, params, feed, train=False, dropout_rng=None,
               decode=False, quantize=None):

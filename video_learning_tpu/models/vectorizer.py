@@ -22,7 +22,7 @@ Contract with the pipeline builder:
 from video_learning_tpu.models import alexnet, lstm as lstm_mod
 from video_learning_tpu.models.layers import (convert_dim_fc_apply,
                                               convert_dim_fc_init)
-from video_learning_tpu.utils import error
+from video_learning_tpu.utils import error, warning
 
 
 class Vectorizer:
@@ -56,6 +56,12 @@ class Vectorizer:
     def init(self, rng, input_shape):
         return None
 
+    def quantize_params(self, params):
+        """Pre-quantized (int8 serving) form of this vectorizer's params,
+        or None when the strategy has no int8 path (quantization is then
+        skipped for the pipeline and Model.quantize_params warns)."""
+        return None
+
     def output_dim(self, in_dim):
         """Feature dimension produced for inputs of trailing dim
         ``in_dim`` (static metadata for the DAG resolve pass)."""
@@ -70,6 +76,10 @@ class NOP(Vectorizer):
     description = "Does not transform input"
 
     def apply(self, params, x, compute_dtype=None, quant=None):
+        if quant:
+            # trace-time (once per compile), not per batch
+            warning("quantize=%s has no effect on a [nop] representation"
+                    % quant)
         return x
 
 
@@ -104,11 +114,15 @@ class DCNN(Vectorizer):
     def apply(self, params, x, compute_dtype=None, quant=None):
         self.require_input(x.shape, 3)
         if quant == "int8":
-            # forward-only serving path (val/infer with quantize: int8)
+            # forward-only serving path (val/infer with quantize: int8);
+            # params may be raw or pre-quantized (alexnet.quantize_params)
             return alexnet.apply_int8(params, x, self.frame_encoding_layer,
                                       compute_dtype=compute_dtype)
         return alexnet.apply(params, x, self.frame_encoding_layer,
                              compute_dtype=compute_dtype)
+
+    def quantize_params(self, params):
+        return alexnet.quantize_params(params)
 
 
 class FC(Vectorizer):
@@ -131,6 +145,13 @@ class FC(Vectorizer):
 
     def apply(self, params, x, compute_dtype=None, quant=None):
         self.require_input(x.shape, 2)
+        if quant:
+            # trace-time (once per compile): the FC encoder is a single
+            # skinny matmul — int8 would save nothing, but the user must
+            # know this pipeline runs unquantized
+            warning("quantize=%s is implemented for DCNN frame encoders "
+                    "only; the [FC] representation runs unquantized"
+                    % quant)
         return convert_dim_fc_apply(params, x, compute_dtype)
 
 

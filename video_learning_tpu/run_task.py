@@ -109,74 +109,94 @@ def do_train(settings, engine, feeder, model, writer):
         feed = _prepare_feed(feed, batches, model)
         return engine.prepare_device_feed(feed)
 
-    for _ in range(settings.train.epoch_index, settings.train.epochs):
-        prefetcher = FeedPrefetcher(feeder, required_input, prepare)
-        for feed, batches, batch_index in prefetcher:
-            num_data = [b.visual.shape[0] for b in batches.values()]
-            # log the production-time index: the prefetch thread advances
-            # the feeder's live cursor ahead of the batch being trained
-            print_iter_info(settings, feeder, num_data,
-                            len(feed["labels"]), 0,
-                            batch_index=batch_index + 1)
-            run_batch_count += 1
-            if profiler:
-                profiler.maybe_start(engine.global_step)
-            metrics = engine.run_step(feed)
-            settings.global_step = engine.global_step
-            if profiler:
-                profiler.maybe_stop(engine.global_step)
-            if metrics["loss"] < min_train_loss[0]:
-                min_train_loss = (metrics["loss"], engine.global_step)
-            nats = metrics["loss"] / math.log(settings.num_classes)
-            info("Learning rate %2.8f, global step: %d, batch loss/nats : "
-                 "%2.5f / %2.3f" % (metrics["lr"], engine.global_step,
-                                    metrics["loss"], nats))
-            writer.write(engine.global_step, **metrics)
-            if feeder.should_save(run_batch_count):
-                progress = "ep_%d_btch_%d_gs_%d" % (
-                    1 + settings.train.epoch_index, batch_index + 1,
-                    engine.global_step)
-                feeder.save(engine.state_dict(), progress,
-                            engine.global_step,
-                            batch_index=batch_index + 1)
-            if preempt["sig"] is not None:
-                info("Caught signal %d (preemption): saving checkpoint "
-                     "and stopping after %d batches this epoch."
-                     % (preempt["sig"], batch_index + 1))
-                progress = "ep_%d_btch_%d_gs_%d_preempt" % (
-                    1 + settings.train.epoch_index, batch_index + 1,
-                    engine.global_step)
-                feeder.save(engine.state_dict(), progress,
-                            engine.global_step,
-                            batch_index=batch_index + 1)
-                preempted = True
+    try:
+        for _ in range(settings.train.epoch_index, settings.train.epochs):
+            prefetcher = FeedPrefetcher(feeder, required_input, prepare)
+            for feed, batches, batch_index in prefetcher:
+                num_data = [b.visual.shape[0] for b in batches.values()]
+                # log the production-time index: the prefetch thread
+                # advances the feeder's live cursor ahead of the batch
+                # being trained
+                print_iter_info(settings, feeder, num_data,
+                                len(feed["labels"]), 0,
+                                batch_index=batch_index + 1)
+                run_batch_count += 1
+                if profiler:
+                    profiler.maybe_start(engine.global_step)
+                metrics = engine.run_step(feed)
+                settings.global_step = engine.global_step
+                if profiler:
+                    profiler.maybe_stop(engine.global_step)
+                if metrics["loss"] < min_train_loss[0]:
+                    min_train_loss = (metrics["loss"], engine.global_step)
+                nats = metrics["loss"] / math.log(settings.num_classes)
+                info("Learning rate %2.8f, global step: %d, batch "
+                     "loss/nats : %2.5f / %2.3f"
+                     % (metrics["lr"], engine.global_step,
+                        metrics["loss"], nats))
+                writer.write(engine.global_step, **metrics)
+                saved_this_batch = feeder.should_save(run_batch_count)
+                if saved_this_batch:
+                    progress = "ep_%d_btch_%d_gs_%d" % (
+                        1 + settings.train.epoch_index, batch_index + 1,
+                        engine.global_step)
+                    feeder.save(engine.state_dict(), progress,
+                                engine.global_step,
+                                batch_index=batch_index + 1)
+                if preempt["sig"] is not None:
+                    info("Caught signal %d (preemption): saving "
+                         "checkpoint and stopping after %d batches this "
+                         "epoch." % (preempt["sig"], batch_index + 1))
+                    if saved_this_batch:
+                        # the periodic save above already checkpointed
+                        # this exact position — a second full save would
+                        # only burn a max_to_keep slot and (async) block
+                        # on the write
+                        info("Position already checkpointed by the "
+                             "periodic save this batch; skipping the "
+                             "duplicate.")
+                    else:
+                        progress = "ep_%d_btch_%d_gs_%d_preempt" % (
+                            1 + settings.train.epoch_index,
+                            batch_index + 1, engine.global_step)
+                        feeder.save(engine.state_dict(), progress,
+                                    engine.global_step,
+                                    batch_index=batch_index + 1)
+                    preempted = True
+                    break
+            if preempted:
+                # mid-epoch stop: do NOT advance epoch_index or rewind —
+                # the .snap sidecar holds (batch_index, epoch) and resume
+                # restores the position O(1) (data/dataset.py restore)
                 break
-        if preempted:
-            # mid-epoch stop: do NOT advance epoch_index or rewind — the
-            # .snap sidecar holds (batch_index, epoch) and resume restores
-            # the position O(1) (data/dataset.py restore)
-            break
-        if run_batch_count > 0:
-            info("Epoch [%d] training run complete."
-                 % (1 + settings.train.epoch_index))
-        else:
-            info("Resumed epoch [%d] is already complete."
-                 % (1 + settings.train.epoch_index))
-        settings.train.epoch_index += 1
-        feeder.rewind_datasets()
-    info("Minimum training loss: %2.5f at global step %d"
-         % min_train_loss)
-    if run_batch_count > 0 and not preempted and \
-            not feeder.should_save(run_batch_count):
-        info("Saving model checkpoint out of turn (training finished).")
-        progress = "ep_%d_btch_%d_gs_%d" % (
-            1 + settings.train.epoch_index, feeder.get_num_batches(),
-            settings.global_step)
-        feeder.save(engine.state_dict(), progress, settings.global_step)
-    # join any in-flight async checkpoint write (and surface its error)
-    # before the process is allowed to exit
-    feeder.finish_saves()
-    restore_handler()
+            if run_batch_count > 0:
+                info("Epoch [%d] training run complete."
+                     % (1 + settings.train.epoch_index))
+            else:
+                info("Resumed epoch [%d] is already complete."
+                     % (1 + settings.train.epoch_index))
+            settings.train.epoch_index += 1
+            feeder.rewind_datasets()
+        info("Minimum training loss: %2.5f at global step %d"
+             % min_train_loss)
+        if run_batch_count > 0 and not preempted and \
+                not feeder.should_save(run_batch_count):
+            info("Saving model checkpoint out of turn (training "
+                 "finished).")
+            progress = "ep_%d_btch_%d_gs_%d" % (
+                1 + settings.train.epoch_index, feeder.get_num_batches(),
+                settings.global_step)
+            feeder.save(engine.state_dict(), progress,
+                        settings.global_step)
+    finally:
+        # join any in-flight async checkpoint write (and surface its
+        # error) even when the loop itself raised — otherwise the process
+        # unwinds past a daemon writer mid-write, killing the file it
+        # already logged as saved (and dropping a stored earlier failure)
+        try:
+            feeder.finish_saves()
+        finally:
+            restore_handler()
     if preempted:
         info("Training preempted — resume with resume_file: latest to "
              "continue from the saved position.")

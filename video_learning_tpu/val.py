@@ -60,6 +60,9 @@ class Validation:
         self._src_params = None
         self._src_leaf0 = None
         self._placed_params = None
+        self._q_src_params = None
+        self._q_src_leaf0 = None
+        self._q_params = None
         self._row_maps = {}
         # multi-controller runs share the run folder: exactly one process
         # persists artifacts (chunk pickles, coco json, accuracy files) —
@@ -143,8 +146,68 @@ class Validation:
             self._row_maps[n_local] = rows
         return rows
 
+    def _maybe_quantize(self, params):
+        """Pre-quantize the int8-eligible encoder weights ONCE per params
+        CONTENT (same identity-cache rules as the shard cache below) —
+        an in-graph weight quantize would re-run every batch since each
+        forward(params, feed) call re-executes the whole trace."""
+        if not getattr(self.settings.val, "quantize", None):
+            return params
+        leaves = jax.tree_util.tree_leaves(params)
+        leaf0 = leaves[0] if leaves else None
+        if params is not self._q_src_params or \
+                leaf0 is not self._q_src_leaf0:
+            quantized = self.model.quantize_params(params)
+            self._q_params = quantized
+            self._q_src_params = params
+            self._q_src_leaf0 = leaf0
+        return self._q_params
+
+    def build_serving_fn(self, params, sample_feed):
+        """The bare serving computation for AOT export
+        (tools/export_serving): exactly the val forward — fused device
+        preprocessing + model.apply(train=False) with the optional int8
+        quantization — but with the (pre-quantized) parameters CLOSED
+        OVER so the exported artifact is self-contained, and with the
+        visual feed arrays as a flat positional signature.
+
+        ``sample_feed`` provides the static shapes/dtypes (pass a real,
+        geometry-padded feed so the exported signature matches what the
+        production feeder produces).  Returns (serve_fn, names, specs):
+        serve_fn(*arrays) -> logits, names[i] the feed key of positional
+        input i, specs[i] its jax.ShapeDtypeStruct."""
+        pre = self._preprocessors
+        quantize = getattr(self.settings.val, "quantize", None)
+        params = self._maybe_quantize(params)
+        model = self.model
+        names = []
+        for key, itype, tag in model.required_input:
+            if itype != defs.net_input.visual:
+                continue
+            names.append(key)
+            pkey = key + "/proc_params"
+            if key in pre and pkey in sample_feed:
+                names.append(pkey)
+        if not names:
+            error("No visual inputs to export")
+
+        def serve(*arrays):
+            feed = dict(zip(names, arrays))
+            for key, p in pre.items():
+                pkey = key + "/proc_params"
+                if pkey in feed:
+                    feed[key] = p(feed[key], feed.pop(pkey))
+            return model.apply(params, feed, train=False,
+                               quantize=quantize)
+
+        specs = [jax.ShapeDtypeStruct(tuple(sample_feed[n].shape),
+                                      sample_feed[n].dtype)
+                 for n in names]
+        return serve, names, specs
+
     def run_forward(self, params, feed, decode=False):
         fn = self._decode if decode else self._forward
+        params = self._maybe_quantize(params)
         if self.mesh.size > 1:
             # shard once per params CONTENT (do_test passes the same tree
             # every batch).  The cache compares OBJECT IDENTITY of the
