@@ -236,3 +236,83 @@ def test_infer_captioning(caption_fixture, tmp_path):  # noqa: F811
         assert isinstance(r["caption"], str)
         for w in r["caption"].split():
             assert w in vocab
+
+
+# ------------------------------------------------- AOT serving export
+def test_export_serving_roundtrip(trained_video_run, tmp_path):
+    """tools/export_serving: the AOT artifact reproduces the in-process
+    val forward EXACTLY (same feed arrays through the deserialized
+    StableHLO vs jit of build_serving_fn), pads partial batches, and is
+    deterministic across calls."""
+    import jax
+
+    from video_learning_tpu import run_task
+    from video_learning_tpu.batching import BatchGeometry
+    from video_learning_tpu.tools import export_serving as exp_mod
+
+    fix_path, cfg, vids = trained_video_run
+    out = tmp_path / "model.vlx"
+    meta = exp_mod.main([str(cfg), "--out", str(out),
+                         "--batch-items", "2", "--platforms", "cpu",
+                         "--workdir", str(tmp_path / "xw"),
+                         "--selftest"])
+    assert out.exists()
+    assert meta["output"]["num_classes"] == 3
+    assert meta["quantize"] is None
+
+    serving = exp_mod.load(str(out))
+    ins = serving.meta["inputs"]
+    assert [i["name"] for i in ins] == [i["name"] for i in meta["inputs"]]
+
+    # in-process ground truth through the SAME production chain
+    workdir = tmp_path / "gt"
+    workdir.mkdir()
+    settings, feeder, model, params, val, kind = \
+        infer_mod.build_serving_context(str(cfg), vids[:2], "latest",
+                                        None, None, str(workdir),
+                                        batch_size=2)
+    assert feeder.loop()
+    feed, batches = feeder.get_feed(model.required_input)
+    feed = run_task._prepare_feed(feed, batches, model)
+    feed, _, _ = BatchGeometry().pad_feed(feed)
+    serve, names, specs = val.build_serving_fn(params, feed)
+    arrays = [feed[n] for n in names]
+    # geometry must match the exported signature for a direct compare
+    assert [list(a.shape) for a in arrays] == [i["shape"] for i in ins]
+    direct = np.asarray(jax.jit(serve)(*arrays))
+
+    aot = serving(*arrays)
+    np.testing.assert_allclose(aot, direct, rtol=1e-5, atol=1e-5)
+    # deterministic
+    np.testing.assert_array_equal(aot, serving(*arrays))
+
+    # partial batch: half the items -> half the rows back
+    half = [a[: a.shape[0] // 2] for a in arrays]
+    part = serving(*half)
+    assert part.shape[0] == aot.shape[0] // 2
+    np.testing.assert_allclose(part, direct[: part.shape[0]],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_export_serving_int8(trained_video_run, tmp_path):
+    """--int8 bakes the pre-quantized w8a8 forward into the artifact."""
+    from video_learning_tpu.tools import export_serving as exp_mod
+
+    _, cfg, vids = trained_video_run
+    out = tmp_path / "model_int8.vlx"
+    meta = exp_mod.main([str(cfg), "--out", str(out),
+                         "--batch-items", "1", "--platforms", "cpu"])
+    f32 = exp_mod.load(str(out))
+    meta_q = exp_mod.main([str(cfg), "--out", str(out),
+                           "--batch-items", "1", "--platforms", "cpu",
+                           "--int8"])
+    assert meta_q["quantize"] == "int8"
+    quant = exp_mod.load(str(out))
+    arrays = [np.random.RandomState(0).randint(
+        0, 256, i["shape"]).astype(i["dtype"]) for i in f32.meta["inputs"]]
+    a = f32(*arrays)
+    b = quant(*arrays)
+    assert a.shape == b.shape
+    assert np.all(np.isfinite(b))
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+    assert rel < 0.1, "int8 artifact rel err %.4f" % rel

@@ -1,0 +1,276 @@
+"""AOT serving export: compile a trained checkpoint into a
+self-contained, parameter-baked StableHLO artifact (jax.export).
+
+The reference framework (and ``tools/infer`` here) serves by rebuilding
+the model in-process from config + checkpoint.  For production serving
+on TPU, that couples deployment to the full framework and to trace-time
+Python; this tool instead AOT-exports the EXACT production forward —
+the fused device preprocessing (uint8 frames -> crop/mean/mirror on
+chip) + the model DAG at train=False, with the optional w8a8 int8
+quantization and the parameters CLOSED OVER as constants — into one
+portable artifact that any JAX process (no framework, no config, no
+checkpoint) can deserialize and call:
+
+  python -m video_learning_tpu.tools.export_serving run_config.yml \
+      --checkpoint latest --out model.vlx \
+      [--batch-items 8] [--fpc N] [--cpv N] [--int8] \
+      [--platforms cpu,tpu] [--workdir DIR]
+
+  # consumer side (only jax required):
+  from video_learning_tpu.tools.export_serving import load
+  serving = load("model.vlx")
+  logits = serving(frames_uint8, proc_params)   # names/shapes in .meta
+
+The exported signature is the framework's own val-feed layout, captured
+from a REAL packed batch (a synthesized dummy batch of the configured
+geometry travels the production serialize -> feed -> pad chain), so the
+artifact can never drift from what the framework's feeder produces.
+Classification pipelines only — caption decode serves via tools/infer
+(its greedy feedback loop needs the vocabulary on the host side).
+
+Artifact format ``.vlx``: a zip holding ``forward.bin`` (the serialized
+jax.export Exported) and ``meta.json`` (positional input names, shapes,
+dtypes, batch geometry, num_classes, quantize mode, platforms, creation
+provenance).
+
+Note on cross-platform exports: platform-adaptive op forms (the
+band-matmul vs sliding LRN in models/layers) specialize at TRACE time
+from the exporting host's backend.  An artifact lowered for TPU from a
+CPU-only host is numerically correct on TPU but carries the CPU-chosen
+LRN form; export on a TPU host for the measured peak-perf lowering
+(meta.json records ``trace_platform`` so this is auditable).
+"""
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+import zipfile
+
+import numpy as np
+
+from video_learning_tpu.utils import ensure_console_logging, error, info
+
+_FORWARD_NAME = "forward.bin"
+_META_NAME = "meta.json"
+
+
+# ----------------------------------------------------------------- export
+def _dummy_media(workdir, dcfg, kind, fpc, cpv, n_items):
+    """Synthesize ``n_items`` dummy media items at the config's raw
+    geometry — only their SHAPES matter (they define the exported
+    signature); the packed bytes are never baked into the artifact.
+    Video folders carry enough frames for the clip sampler to draw
+    ``cpv`` distinct clips."""
+    from PIL import Image
+    from video_learning_tpu.parse_opts import parse_seq
+
+    raw_shape = dcfg.get("raw_image_shape") or dcfg.get("image_shape")
+    if raw_shape is None:
+        error("Config dataset needs raw_image_shape or image_shape to "
+              "synthesize the export signature batch")
+    h, w = [int(v) for v in parse_seq(str(raw_shape))[:2]]
+    rng = np.random.RandomState(0)
+    fpc = max(fpc or 1, 1)
+    n_frames = fpc * (max(cpv or 1, 1) + 1)
+    media = []
+    for i in range(n_items):
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        if kind == "video":
+            vdir = os.path.join(workdir, "export_vid%d" % i)
+            os.makedirs(vdir, exist_ok=True)
+            for f in range(n_frames):
+                Image.fromarray(img).save(
+                    os.path.join(vdir, "f_%04d.jpg" % f), quality=95)
+            media.append(vdir)
+        else:
+            p = os.path.join(workdir, "export_im%d.jpg" % i)
+            Image.fromarray(img).save(p, quality=95)
+            media.append(p)
+    return media
+
+
+def export(config_file, out, checkpoint="latest", batch_items=None,
+           fpc=None, cpv=None, workdir=None, int8=False, platforms=None):
+    """Export the serving forward; returns the meta dict."""
+    import jax
+    from jax import export as jax_export
+
+    from video_learning_tpu import run_task
+    from video_learning_tpu.batching import BatchGeometry
+    from video_learning_tpu.tools.infer import (_main_dataset_cfg,
+                                                _training_fpc_cpv,
+                                                build_serving_context)
+    import yaml
+
+    owns_workdir = workdir is None
+    workdir = workdir or tempfile.mkdtemp(prefix="vlt_export_")
+    os.makedirs(workdir, exist_ok=True)
+    try:
+        with open(config_file) as f:
+            docs = yaml.safe_load(f)
+        if "run" not in docs:
+            error("Config %s has no run: document" % config_file)
+        _, dcfg = _main_dataset_cfg(docs["run"])
+        size_file = str(dcfg.get("data_path")) + ".tfrecord.size"
+        t_fpc, t_cpv = _training_fpc_cpv(size_file)
+        kind = "video" if (fpc or t_fpc or 0) > 1 or (cpv or 0) > 0 \
+            else "image"
+        use_fpc = fpc or t_fpc
+
+        batch_items = batch_items or 8
+        media = _dummy_media(workdir, dcfg, kind, use_fpc,
+                             cpv or t_cpv, batch_items)
+        settings, feeder, model, params, val, kind = \
+            build_serving_context(config_file, media, checkpoint,
+                                  fpc, cpv, workdir,
+                                  batch_size=batch_items, int8=int8)
+        if model.caption_dataset is not None:
+            error("AOT export supports classification serving; caption "
+                  "decode needs host-side vocabulary — serve captioners "
+                  "via tools/infer")
+
+        # one REAL batch through the production chain fixes the
+        # exported signature (shapes, dtypes, key order)
+        geometry = BatchGeometry()
+        if not feeder.loop():
+            error("Internal: export signature batch produced no feed")
+        feed, batches = feeder.get_feed(model.required_input)
+        feed = run_task._prepare_feed(feed, batches, model)
+        feed, _, _ = geometry.pad_feed(feed)
+
+        serve, names, specs = val.build_serving_fn(params, feed)
+        plats = [p.strip() for p in (platforms or "cpu,tpu").split(",")
+                 if p.strip()]
+        try:
+            exported = jax_export.export(jax.jit(serve),
+                                         platforms=plats)(*specs)
+        except Exception as e:  # noqa: BLE001 — cross-lowering varies
+            if plats == ["cpu"]:
+                raise
+            info("Multi-platform lowering failed (%s); retrying for "
+                 "the current platform only" % e)
+            plats = [jax.default_backend()]
+            exported = jax_export.export(jax.jit(serve),
+                                         platforms=plats)(*specs)
+        blob = exported.serialize()
+
+        meta = {
+            "format": "vlx-1",
+            "inputs": [{"name": n,
+                        "shape": list(map(int, specs[i].shape)),
+                        "dtype": str(np.dtype(specs[i].dtype))}
+                       for i, n in enumerate(names)],
+            "output": {"kind": "logits",
+                       "num_classes": int(settings.num_classes)},
+            "batch_items": int(batch_items),
+            "frames_per_clip": int(use_fpc or 1),
+            "clips_per_item": int(cpv or t_cpv or 1),
+            "quantize": "int8" if int8 else None,
+            "platforms": plats,
+            "trace_platform": jax.default_backend(),
+            "jax_version": jax.__version__,
+            "run_id": str(settings.run_id),
+        }
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr(_FORWARD_NAME, blob)
+            z.writestr(_META_NAME, json.dumps(meta, indent=1))
+        info("Exported serving artifact: %s (%.1f MB, platforms=%s, "
+             "inputs=%s)" % (out, os.path.getsize(out) / 1e6,
+                             ",".join(plats), names))
+        return meta
+    finally:
+        if owns_workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ------------------------------------------------------------------- load
+class ServingModule:
+    """A deserialized serving artifact: call with the positional arrays
+    described by ``.meta['inputs']`` (a short batch is zero-padded to the
+    exported geometry and the padding rows dropped from the output)."""
+
+    def __init__(self, exported, meta):
+        self._exported = exported
+        self.meta = meta
+
+    def __call__(self, *arrays):
+        ins = self.meta["inputs"]
+        if len(arrays) != len(ins):
+            error("Serving artifact takes %d inputs %s; got %d"
+                  % (len(ins), [i["name"] for i in ins], len(arrays)))
+        rows = None
+        padded = []
+        for a, spec in zip(arrays, ins):
+            a = np.asarray(a, dtype=spec["dtype"])
+            want = tuple(spec["shape"])
+            if a.shape != want:
+                if a.shape[1:] != want[1:] or a.shape[0] > want[0]:
+                    error("Input %s expects shape %s (leading dim may "
+                          "be smaller); got %s"
+                          % (spec["name"], want, a.shape))
+                if rows is None:
+                    # every input shares the batch fraction: row counts
+                    # scale with the same item count
+                    rows = a.shape[0] / want[0]
+                elif abs(a.shape[0] / want[0] - rows) > 1e-9:
+                    error("Inconsistent partial batch across inputs")
+                pad = [(0, want[0] - a.shape[0])] + \
+                    [(0, 0)] * (a.ndim - 1)
+                a = np.pad(a, pad)
+            padded.append(a)
+        out = np.asarray(self._exported.call(*padded))
+        if rows is not None:
+            out = out[:max(int(round(out.shape[0] * rows)), 1)]
+        return out
+
+
+def load(path):
+    """Load a ``.vlx`` artifact (only jax + numpy needed)."""
+    from jax import export as jax_export
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read(_META_NAME).decode("utf-8"))
+        exported = jax_export.deserialize(bytearray(z.read(_FORWARD_NAME)))
+    return ServingModule(exported, meta)
+
+
+def main(argv=None):
+    ensure_console_logging()
+    parser = argparse.ArgumentParser(
+        description="AOT-export a trained checkpoint as a self-contained "
+                    "serving artifact (StableHLO via jax.export).")
+    parser.add_argument("config", help="the run's YAML config")
+    parser.add_argument("--out", required=True, help="output .vlx path")
+    parser.add_argument("--checkpoint", default="latest",
+                        help="'latest', a checkpoint path, or 'none'")
+    parser.add_argument("--batch-items", type=int, default=8,
+                        help="exported (static) batch size in items")
+    parser.add_argument("--fpc", type=int,
+                        help="frames per clip (default: training .size)")
+    parser.add_argument("--cpv", type=int, help="clips per item")
+    parser.add_argument("--int8", action="store_true",
+                        help="bake the w8a8-quantized serving forward")
+    parser.add_argument("--platforms", default="cpu,tpu",
+                        help="comma-separated lowering targets")
+    parser.add_argument("--workdir",
+                        help="keep the signature-batch workdir here")
+    parser.add_argument("--selftest", action="store_true",
+                        help="reload the artifact and run zeros through "
+                             "it after exporting")
+    args = parser.parse_args(argv)
+    meta = export(args.config, args.out, checkpoint=args.checkpoint,
+                  batch_items=args.batch_items, fpc=args.fpc,
+                  cpv=args.cpv, workdir=args.workdir, int8=args.int8,
+                  platforms=args.platforms)
+    if args.selftest:
+        serving = load(args.out)
+        zeros = [np.zeros(i["shape"], i["dtype"])
+                 for i in serving.meta["inputs"]]
+        out = serving(*zeros)
+        info("Selftest OK: output %s %s" % (out.shape, out.dtype))
+    return meta
+
+
+if __name__ == "__main__":
+    main()

@@ -174,13 +174,16 @@ def _softmax(logits):
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
-          fpc=None, cpv=None, out=None, workdir=None, batch_size=None,
-          int8=False):
-    from video_learning_tpu import run_task
-    from video_learning_tpu.batching import BatchGeometry
+def build_serving_context(config_file, media, checkpoint="latest",
+                          fpc=None, cpv=None, workdir=None,
+                          batch_size=None, int8=False):
+    """Pack ``media`` and construct the full serving stack from a
+    training run config: (settings, feeder, model, restored params,
+    Validation, media kind).  Shared by the inference CLI below and the
+    AOT exporter (tools/export_serving) so neither can drift from the
+    production pack -> feed -> restore -> forward chain.  The caller owns
+    ``workdir`` (must exist)."""
     from video_learning_tpu.config import Settings
-    from video_learning_tpu.defs import defs
     from video_learning_tpu.models.pipeline import Model
     from video_learning_tpu.parallel.mesh import init_platform
     from video_learning_tpu.val import Validation
@@ -198,85 +201,97 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
     # model was trained with) — resolved once, before dcfg is rewritten
     train_size_file = str(dcfg.get("data_path")) + ".tfrecord.size"
 
+    if kind == "video":
+        t_fpc, t_cpv = _training_fpc_cpv(train_size_file)
+        fpc = fpc or t_fpc
+        cpv = cpv or t_cpv or 1
+        if not fpc:
+            error("Cannot determine frames-per-clip for video media: "
+                  "no .size sidecar next to the training data_path — "
+                  "pass --fpc")
+        info("Video inference: %d clip(s) x %d frame(s) per item"
+             % (cpv, fpc))
+    paths_file = _pack_media(workdir, media, kind, dcfg, fpc, cpv)
+
+    # rewrite the run document for a resumed, deterministic val pass
+    # over the packed media
+    run_cfg = dict(run_cfg)
+    if "captioning" in run_cfg and \
+            not run_cfg["captioning"].get("caption_max_length"):
+        # the packed media carries dummy 1-token labels; without a
+        # configured cap the decode length would shrink to 1 — carry
+        # the TRAINING set's caption length over instead
+        from video_learning_tpu.data import records
+        if os.path.exists(train_size_file):
+            run_cfg["captioning"] = dict(run_cfg["captioning"])
+            run_cfg["captioning"]["caption_max_length"] = \
+                records.read_size_file(train_size_file)["labelcount"]
+        else:
+            error("Captioning inference needs captioning."
+                  "caption_max_length in the config (or a .size "
+                  "sidecar next to the training data_path)")
+    run_cfg["phase"] = "defs.phase.val"
+    run_cfg["resume_file"] = None if checkpoint in (None, "none") \
+        else checkpoint
+    run_cfg["run_id"] = str(run_cfg.get("run_id", "run")) + "_infer"
+    dcfg = dict(dcfg)
+    dcfg["data_path"] = paths_file
+    dcfg["data_format"] = "defs.data_format.tfrecord"
+    dcfg["phase"] = "defs.phase.val"
+    dcfg["imgproc"] = _val_imgproc(dcfg.get("imgproc"))
+    run_cfg["data"] = {name: dcfg}
+    # ensure a val: block exists (the model may have been trained
+    # with a train-only config) and give it inference defaults
+    val_cfg = dict(run_cfg.get("val") or {})
+    if batch_size:
+        val_cfg["batch_size"] = batch_size
+    val_cfg.setdefault("batch_size", 8)
+    if int8:
+        # w8a8 serving forward for the frame encoders (models/layers
+        # conv_apply_int8; int8 MXU runs at 2x the bf16 peak on v5e)
+        val_cfg["quantize"] = "int8"
+    if kind == "video" and not val_cfg.get("clip_fusion"):
+        # video items always pass through clip fusion at accumulation
+        val_cfg["clip_fusion"] = ["defs.fusion_type.late",
+                                  "defs.fusion_method.avg"]
+    run_cfg["val"] = val_cfg
+    docs = dict(docs)
+    docs["run"] = run_cfg
+    infer_cfg = os.path.join(workdir, "infer_run.yml")
+    with open(infer_cfg, "w") as f:
+        yaml.safe_dump(docs, f)
+
+    settings = Settings()
+    feeder = settings.initialize(infer_cfg)
+    model = Model(settings)
+    params = model.init_params(jax.random.PRNGKey(settings.seed))
+    if run_cfg["resume_file"]:
+        state = feeder.init_saveload(
+            {"params": params}, settings.resume_file,
+            model.get_ignorable_variable_names())
+        params = state["params"]
+    else:
+        info("No checkpoint given (--checkpoint none): running with "
+             "fresh parameters (smoke mode)")
+
+    val = Validation(settings, model)
+    val.validation_logits_save_interval = None  # no chunk pickles
+    return settings, feeder, model, params, val, kind
+
+
+def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
+          fpc=None, cpv=None, out=None, workdir=None, batch_size=None,
+          int8=False):
+    from video_learning_tpu import run_task
+    from video_learning_tpu.batching import BatchGeometry
+
     owns_workdir = workdir is None
     workdir = workdir or tempfile.mkdtemp(prefix="vlt_infer_")
     os.makedirs(workdir, exist_ok=True)
     try:
-        if kind == "video":
-            t_fpc, t_cpv = _training_fpc_cpv(train_size_file)
-            fpc = fpc or t_fpc
-            cpv = cpv or t_cpv or 1
-            if not fpc:
-                error("Cannot determine frames-per-clip for video media: "
-                      "no .size sidecar next to the training data_path — "
-                      "pass --fpc")
-            info("Video inference: %d clip(s) x %d frame(s) per item"
-                 % (cpv, fpc))
-        paths_file = _pack_media(workdir, media, kind, dcfg, fpc, cpv)
-
-        # rewrite the run document for a resumed, deterministic val pass
-        # over the packed media
-        run_cfg = dict(run_cfg)
-        if "captioning" in run_cfg and \
-                not run_cfg["captioning"].get("caption_max_length"):
-            # the packed media carries dummy 1-token labels; without a
-            # configured cap the decode length would shrink to 1 — carry
-            # the TRAINING set's caption length over instead
-            from video_learning_tpu.data import records
-            if os.path.exists(train_size_file):
-                run_cfg["captioning"] = dict(run_cfg["captioning"])
-                run_cfg["captioning"]["caption_max_length"] = \
-                    records.read_size_file(train_size_file)["labelcount"]
-            else:
-                error("Captioning inference needs captioning."
-                      "caption_max_length in the config (or a .size "
-                      "sidecar next to the training data_path)")
-        run_cfg["phase"] = "defs.phase.val"
-        run_cfg["resume_file"] = None if checkpoint in (None, "none") \
-            else checkpoint
-        run_cfg["run_id"] = str(run_cfg.get("run_id", "run")) + "_infer"
-        dcfg = dict(dcfg)
-        dcfg["data_path"] = paths_file
-        dcfg["data_format"] = "defs.data_format.tfrecord"
-        dcfg["phase"] = "defs.phase.val"
-        dcfg["imgproc"] = _val_imgproc(dcfg.get("imgproc"))
-        run_cfg["data"] = {name: dcfg}
-        # ensure a val: block exists (the model may have been trained
-        # with a train-only config) and give it inference defaults
-        val_cfg = dict(run_cfg.get("val") or {})
-        if batch_size:
-            val_cfg["batch_size"] = batch_size
-        val_cfg.setdefault("batch_size", 8)
-        if int8:
-            # w8a8 serving forward for the frame encoders (models/layers
-            # conv_apply_int8; int8 MXU runs at 2x the bf16 peak on v5e)
-            val_cfg["quantize"] = "int8"
-        if kind == "video" and not val_cfg.get("clip_fusion"):
-            # video items always pass through clip fusion at accumulation
-            val_cfg["clip_fusion"] = ["defs.fusion_type.late",
-                                      "defs.fusion_method.avg"]
-        run_cfg["val"] = val_cfg
-        docs = dict(docs)
-        docs["run"] = run_cfg
-        infer_cfg = os.path.join(workdir, "infer_run.yml")
-        with open(infer_cfg, "w") as f:
-            yaml.safe_dump(docs, f)
-
-        settings = Settings()
-        feeder = settings.initialize(infer_cfg)
-        model = Model(settings)
-        params = model.init_params(jax.random.PRNGKey(settings.seed))
-        if run_cfg["resume_file"]:
-            state = feeder.init_saveload(
-                {"params": params}, settings.resume_file,
-                model.get_ignorable_variable_names())
-            params = state["params"]
-        else:
-            info("No checkpoint given (--checkpoint none): running with "
-                 "fresh parameters (smoke mode)")
-
-        val = Validation(settings, model)
-        val.validation_logits_save_interval = None  # no chunk pickles
+        settings, feeder, model, params, val, kind = \
+            build_serving_context(config_file, media, checkpoint,
+                                  fpc, cpv, workdir, batch_size, int8)
         geometry = BatchGeometry()
         is_caption = model.caption_dataset is not None
         caption_rows = []
