@@ -316,3 +316,32 @@ def test_export_serving_int8(trained_video_run, tmp_path):
     assert np.all(np.isfinite(b))
     rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
     assert rel < 0.1, "int8 artifact rel err %.4f" % rel
+
+
+def test_export_serving_multidevice(trained_video_run, tmp_path):
+    """--mesh exports a GSPMD-partitioned artifact (inputs batch-sharded
+    over the data axis, output replicated); the loader rebuilds a
+    same-shape mesh from jax.devices() and the result matches the
+    single-device artifact exactly."""
+    from video_learning_tpu.tools import export_serving as exp_mod
+
+    _, cfg, vids = trained_video_run
+    single = tmp_path / "m1.vlx"
+    exp_mod.main([str(cfg), "--out", str(single),
+                  "--batch-items", "2", "--platforms", "cpu"])
+    sharded = tmp_path / "m4.vlx"
+    meta = exp_mod.main([str(cfg), "--out", str(sharded),
+                         "--batch-items", "2", "--platforms", "cpu",
+                         "--mesh", "data=4"])
+    assert meta["mesh"] == {"data": 4, "model": 1}
+
+    s1 = exp_mod.load(str(single))
+    s4 = exp_mod.load(str(sharded))
+    assert [i["shape"] for i in s1.meta["inputs"]] == \
+        [i["shape"] for i in s4.meta["inputs"]]
+    rng = np.random.RandomState(3)
+    arrays = [rng.randint(0, 200, i["shape"]).astype(i["dtype"])
+              for i in s1.meta["inputs"]]
+    a = s1(*arrays)
+    b = s4(*arrays)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)

@@ -92,8 +92,15 @@ def _dummy_media(workdir, dcfg, kind, fpc, cpv, n_items):
 
 
 def export(config_file, out, checkpoint="latest", batch_items=None,
-           fpc=None, cpv=None, workdir=None, int8=False, platforms=None):
-    """Export the serving forward; returns the meta dict."""
+           fpc=None, cpv=None, workdir=None, int8=False, platforms=None,
+           mesh_shape=None):
+    """Export the serving forward; returns the meta dict.
+
+    ``mesh_shape`` ({"data": N, "model": M}) exports a MULTI-DEVICE
+    artifact: visual inputs annotated batch-sharded over the data axis,
+    output replicated, GSPMD partitioning baked into the StableHLO — the
+    consumer calls it on any same-shape mesh (the loader rebuilds the
+    mesh and places inputs; see ServingModule)."""
     import jax
     from jax import export as jax_export
 
@@ -112,6 +119,15 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
             docs = yaml.safe_load(f)
         if "run" not in docs:
             error("Config %s has no run: document" % config_file)
+        if mesh_shape:
+            # the serving mesh overrides the training config's; the
+            # Validation built below then jits over it
+            docs = dict(docs)
+            docs["run"] = dict(docs["run"])
+            docs["run"]["mesh_shape"] = dict(mesh_shape)
+            config_file = os.path.join(workdir, "export_src.yml")
+            with open(config_file, "w") as f:
+                yaml.safe_dump(docs, f)
         _, dcfg = _main_dataset_cfg(docs["run"])
         size_file = str(dcfg.get("data_path")) + ".tfrecord.size"
         t_fpc, t_cpv = _training_fpc_cpv(size_file)
@@ -141,10 +157,16 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
         feed, _, _ = geometry.pad_feed(feed)
 
         serve, names, specs = val.build_serving_fn(params, feed)
+        jit_kw = {}
+        if val.mesh.size > 1:
+            from video_learning_tpu.parallel import mesh as mesh_mod
+            jit_kw["in_shardings"] = \
+                [mesh_mod.data_sharding(val.mesh)] * len(specs)
+            jit_kw["out_shardings"] = mesh_mod.replicated(val.mesh)
         plats = [p.strip() for p in (platforms or "cpu,tpu").split(",")
                  if p.strip()]
         try:
-            exported = jax_export.export(jax.jit(serve),
+            exported = jax_export.export(jax.jit(serve, **jit_kw),
                                          platforms=plats)(*specs)
         except Exception as e:  # noqa: BLE001 — cross-lowering varies
             if plats == ["cpu"]:
@@ -152,7 +174,7 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
             info("Multi-platform lowering failed (%s); retrying for "
                  "the current platform only" % e)
             plats = [jax.default_backend()]
-            exported = jax_export.export(jax.jit(serve),
+            exported = jax_export.export(jax.jit(serve, **jit_kw),
                                          platforms=plats)(*specs)
         blob = exported.serialize()
 
@@ -168,6 +190,9 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
             "frames_per_clip": int(use_fpc or 1),
             "clips_per_item": int(cpv or t_cpv or 1),
             "quantize": "int8" if int8 else None,
+            "mesh": ({"data": int(val.mesh.shape["data"]),
+                      "model": int(val.mesh.shape["model"])}
+                     if val.mesh.size > 1 else None),
             "platforms": plats,
             "trace_platform": jax.default_backend(),
             "jax_version": jax.__version__,
@@ -189,11 +214,32 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
 class ServingModule:
     """A deserialized serving artifact: call with the positional arrays
     described by ``.meta['inputs']`` (a short batch is zero-padded to the
-    exported geometry and the padding rows dropped from the output)."""
+    exported geometry and the padding rows dropped from the output).
+
+    Multi-device artifacts (``meta['mesh']``) rebuild a same-shape mesh
+    from ``jax.devices()`` at load time and shard inputs over its data
+    axis before the call — the consumer just needs >= the exported
+    device count visible."""
 
     def __init__(self, exported, meta):
         self._exported = exported
         self.meta = meta
+        self._in_sharding = None
+        if meta.get("mesh"):
+            import jax
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as P)
+            shape = meta["mesh"]
+            need = int(shape["data"]) * int(shape["model"])
+            if len(jax.devices()) < need:
+                error("Artifact was exported for a %dx%d device mesh; "
+                      "only %d devices visible"
+                      % (shape["data"], shape["model"],
+                         len(jax.devices())))
+            mesh = Mesh(np.asarray(jax.devices()[:need]).reshape(
+                int(shape["data"]), int(shape["model"])),
+                ("data", "model"))
+            self._in_sharding = NamedSharding(mesh, P("data"))
 
     def __call__(self, *arrays):
         ins = self.meta["inputs"]
@@ -220,6 +266,10 @@ class ServingModule:
                     [(0, 0)] * (a.ndim - 1)
                 a = np.pad(a, pad)
             padded.append(a)
+        if self._in_sharding is not None:
+            import jax
+            padded = [jax.device_put(a, self._in_sharding)
+                      for a in padded]
         out = np.asarray(self._exported.call(*padded))
         if rows is not None:
             out = out[:max(int(round(out.shape[0] * rows)), 1)]
@@ -253,16 +303,27 @@ def main(argv=None):
                         help="bake the w8a8-quantized serving forward")
     parser.add_argument("--platforms", default="cpu,tpu",
                         help="comma-separated lowering targets")
+    parser.add_argument("--mesh",
+                        help="export a multi-device artifact, e.g. "
+                             "'data=4,model=2' (GSPMD partitioning "
+                             "baked into the StableHLO)")
     parser.add_argument("--workdir",
                         help="keep the signature-batch workdir here")
     parser.add_argument("--selftest", action="store_true",
                         help="reload the artifact and run zeros through "
                              "it after exporting")
     args = parser.parse_args(argv)
+    mesh_shape = None
+    if args.mesh:
+        try:
+            mesh_shape = {k.strip(): int(v) for k, v in
+                          (kv.split("=") for kv in args.mesh.split(","))}
+        except ValueError:
+            error("--mesh expects 'data=N[,model=M]'; got %r" % args.mesh)
     meta = export(args.config, args.out, checkpoint=args.checkpoint,
                   batch_items=args.batch_items, fpc=args.fpc,
                   cpv=args.cpv, workdir=args.workdir, int8=args.int8,
-                  platforms=args.platforms)
+                  platforms=args.platforms, mesh_shape=mesh_shape)
     if args.selftest:
         serving = load(args.out)
         zeros = [np.zeros(i["shape"], i["dtype"])
