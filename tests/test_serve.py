@@ -1,0 +1,214 @@
+"""HTTP serving server (tools/serve.py): an exported .vlx artifact
+behind /predict with request coalescing — responses must match the
+in-process ServingModule exactly."""
+
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from video_learning_tpu import run_task
+
+
+@pytest.fixture(scope="module")
+def served_artifact(tmp_path_factory):
+    """Train a tiny run, export a 2-item artifact, start the server.
+
+    Yields (module, conn_factory, started) where ``module`` is the
+    directly-loaded ServingModule for ground truth.
+    """
+    from PIL import Image
+
+    from tests.conftest import make_image
+    from tests.test_train_e2e import _pack, _run_config
+    from video_learning_tpu.tools import export_serving as exp_mod
+    from video_learning_tpu.tools import serve as serve_mod
+
+    tmp_path = tmp_path_factory.mktemp("servefix")
+    vids = []
+    for v, nframes in enumerate([10, 12, 20]):
+        vdir = tmp_path / ("vid%d" % v)
+        vdir.mkdir()
+        for i in range(nframes):
+            Image.fromarray(make_image(48, 64, seed=v * 100 + i)).save(
+                vdir / ("f_%04d.jpg" % i), quality=95)
+        vids.append(str(vdir))
+    tree = tmp_path / "videos.train"
+    tree.write_text("\n".join("%s %d" % (v, i)
+                              for i, v in enumerate(vids)) + "\n")
+    _pack(tmp_path, tree)
+    cfg, _ = _run_config(tmp_path, tree, "train", epochs=2)
+    run_task.main(str(cfg))
+
+    artifact = tmp_path / "model.vlx"
+    exp_mod.main([str(cfg), "--out", str(artifact),
+                  "--batch-items", "2", "--platforms", "cpu"])
+    module = exp_mod.load(str(artifact))
+
+    classes = tmp_path / "classes.txt"
+    classes.write_text("alpha 0\nbeta 1\ngamma 2\n")
+
+    started = threading.Event()
+    t = threading.Thread(
+        target=serve_mod.serve,
+        args=(str(artifact),),
+        kwargs=dict(port=0, classes=str(classes), window_ms=60.0,
+                    started=started),
+        daemon=True)
+    t.start()
+    assert started.wait(timeout=120), "server did not start"
+    host, port = started.addr
+
+    def conn():
+        return http.client.HTTPConnection(host, port, timeout=60)
+
+    yield module, conn, started
+    started.httpd.shutdown()
+
+
+def _items(module, n, seed=0):
+    rng = np.random.RandomState(seed)
+    per = [int(s["shape"][0]) // int(module.meta["batch_items"])
+           for s in module.meta["inputs"]]
+    return [rng.randint(0, 200, (p * n,) + tuple(s["shape"][1:]))
+            .astype(s["dtype"])
+            for p, s in zip(per, module.meta["inputs"])]
+
+
+def _post(conn_factory, body, ctype, path="/predict"):
+    c = conn_factory()
+    c.request("POST", path, body=body, headers={"Content-Type": ctype})
+    r = c.getresponse()
+    data = r.read()
+    c.close()
+    return r.status, data
+
+
+def test_health_and_meta(served_artifact):
+    module, conn, _ = served_artifact
+    c = conn()
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.status == 200 and r.read() == b"ok"
+    c.request("GET", "/meta")
+    r = c.getresponse()
+    meta = json.loads(r.read())
+    c.close()
+    assert meta["batch_items"] == module.meta["batch_items"]
+    assert meta["server"]["coalesce"] is True
+    assert meta["server"]["capacity_items"] == 2
+
+
+def test_predict_npz_full_batch(served_artifact):
+    module, conn, _ = served_artifact
+    arrays = _items(module, 2, seed=1)
+    direct = module(*arrays)
+    buf = io.BytesIO()
+    np.savez(buf, **{s["name"]: a
+                     for s, a in zip(module.meta["inputs"], arrays)})
+    status, data = _post(conn, buf.getvalue(), "application/x-npz")
+    assert status == 200, data
+    out = np.asarray(json.loads(data)["outputs"])
+    np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-5)
+
+    # npz response format
+    status, data = _post(conn, buf.getvalue(),
+                         "application/x-npz", "/predict?format=npz")
+    assert status == 200
+    with np.load(io.BytesIO(data)) as z:
+        np.testing.assert_allclose(z["outputs"], direct,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_predict_json_topk(served_artifact):
+    module, conn, _ = served_artifact
+    arrays = _items(module, 1, seed=2)
+    direct = module(*arrays)
+    doc = {"inputs": {s["name"]: a.tolist()
+                      for s, a in zip(module.meta["inputs"], arrays)},
+           "topk": 2}
+    status, data = _post(conn, json.dumps(doc), "application/json")
+    assert status == 200, data
+    resp = json.loads(data)
+    out = np.asarray(resp["outputs"])
+    np.testing.assert_allclose(out, direct, rtol=1e-4, atol=1e-4)
+    assert len(resp["topk"]) == out.shape[0]
+    for row in resp["topk"]:
+        assert len(row) == 2
+        assert row[0]["prob"] >= row[1]["prob"]
+        assert row[0]["class"] in ("alpha", "beta", "gamma")
+
+
+def test_concurrent_requests_coalesce(served_artifact):
+    """Two concurrent single-item requests coalesce into ONE device
+    call and each gets its own rows back."""
+    module, conn, started = served_artifact
+    batcher = started.batcher
+    real = batcher.module
+    calls = []
+
+    class Counting:
+        meta = real.meta
+
+        def __call__(self, *a):
+            calls.append(tuple(x.shape[0] for x in a))
+            return real(*a)
+
+    a1 = _items(module, 1, seed=3)
+    a2 = _items(module, 1, seed=4)
+    d1, d2 = module(*a1), module(*a2)
+
+    def req(arrays, out):
+        buf = io.BytesIO()
+        np.savez(buf, **{s["name"]: a for s, a in
+                         zip(module.meta["inputs"], arrays)})
+        out.append(_post(conn, buf.getvalue(), "application/x-npz"))
+
+    batcher.module = Counting()
+    try:
+        r1, r2 = [], []
+        t1 = threading.Thread(target=req, args=(a1, r1))
+        t2 = threading.Thread(target=req, args=(a2, r2))
+        t1.start(); t2.start(); t1.join(); t2.join()
+    finally:
+        batcher.module = real
+    assert r1[0][0] == 200 and r2[0][0] == 200
+    o1 = np.asarray(json.loads(r1[0][1])["outputs"])
+    o2 = np.asarray(json.loads(r2[0][1])["outputs"])
+    # coalesced: one call carrying both items (full leading dims);
+    # under scheduling jitter two calls are legal, but every call must
+    # stay within capacity
+    assert 1 <= len(calls) <= 2
+    if len(calls) == 1:
+        full = [int(s["shape"][0]) for s in module.meta["inputs"]]
+        assert list(calls[0]) == full
+    np.testing.assert_allclose(o1, d1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(o2, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_predict_errors(served_artifact):
+    module, conn, _ = served_artifact
+    # wrong trailing shape -> 400
+    bad = [np.zeros((s["shape"][0], 3), s["dtype"])
+           for s in module.meta["inputs"]]
+    buf = io.BytesIO()
+    np.savez(buf, **{s["name"]: a
+                     for s, a in zip(module.meta["inputs"], bad)})
+    status, data = _post(conn, buf.getvalue(), "application/x-npz")
+    assert status == 400 and b"error" in data
+    # over capacity -> 400
+    over = _items(module, 3, seed=5)
+    buf = io.BytesIO()
+    np.savez(buf, **{s["name"]: a
+                     for s, a in zip(module.meta["inputs"], over)})
+    status, data = _post(conn, buf.getvalue(), "application/x-npz")
+    assert status == 400
+    # unknown path -> 404
+    status, _ = _post(conn, b"{}", "application/json", "/nope")
+    assert status == 404
+    # malformed json -> 400
+    status, _ = _post(conn, b"{not json", "application/json")
+    assert status == 400

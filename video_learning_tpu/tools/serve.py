@@ -1,0 +1,377 @@
+"""HTTP serving server over an AOT-exported ``.vlx`` artifact.
+
+Completes the deployment chain (reference parity context: the reference
+framework stops at offline validation, ``val.py``; this framework adds
+``tools/infer`` for raw media and ``tools/export_serving`` for AOT
+artifacts — this server is the final tier, putting an exported artifact
+behind a network endpoint with TPU-shaped request coalescing):
+
+  python -m video_learning_tpu.tools.serve model.vlx --port 8000 \
+      [--classes map.txt] [--window-ms 3] [--no-batch]
+
+The exported forward has a STATIC batch (XLA static shapes — the right
+trade on TPU: one compiled program, MXU-sized batches).  Production
+traffic is mostly single items, so the server bridges the two with a
+micro-batcher: concurrent requests arriving within a short window are
+coalesced into one device call up to the exported capacity, then the
+output rows are split back per request.  A lone request still runs
+immediately after the window (bounded tail latency); the artifact's own
+zero-padding covers the remainder of the batch.
+
+Endpoints (stdlib http.server; no framework needed on the consumer —
+the module loads with jax + numpy only):
+
+  GET  /healthz        -> 200 "ok" once the warm-up call has finished
+  GET  /meta           -> the artifact's meta.json (+ server settings)
+  POST /predict        -> run the forward
+      JSON body: {"inputs": {name: nested-list, ...}} or
+                 {"inputs": [nested-list, ...]} (positional), optional
+                 "topk": N -> adds per-item {"class","prob"} lists
+                 (softmax over logits; --classes names them).
+      NPZ body (content-type application/x-npz or octet-stream):
+                 numpy .npz keyed by input name (or arr_0, arr_1, ...);
+                 respond JSON, or .npz with ?format=npz.
+
+Each request carries 1..batch_items ITEMS (leading dims must be whole
+multiples of the per-item row counts in ``meta['inputs']``; partial
+clips cannot be split across devices or fused correctly downstream).
+"""
+
+import argparse
+import io
+import json
+import os
+import queue
+import threading
+import time
+import zipfile
+
+import numpy as np
+
+from video_learning_tpu.utils import ensure_console_logging, error, info
+
+# --------------------------------------------------------------- batcher
+
+
+class _Pending:
+    __slots__ = ("arrays", "items", "event", "result", "err")
+
+    def __init__(self, arrays, items):
+        self.arrays = arrays
+        self.items = items
+        self.event = threading.Event()
+        self.result = None
+        self.err = None
+
+
+class Batcher:
+    """Coalesce concurrent requests into single device calls.
+
+    All module calls happen on the one worker thread (the exported
+    callable is only ever entered serially).  ``window_s`` bounds how
+    long the first request of a batch waits for company.
+    """
+
+    def __init__(self, module, window_s=0.003, coalesce=True):
+        self.module = module
+        self.window_s = float(window_s)
+        meta = module.meta
+        self.capacity = int(meta["batch_items"])
+        ins = meta["inputs"]
+        self.per_item = []
+        for spec in ins:
+            rows = int(spec["shape"][0])
+            if rows % self.capacity:
+                # row count not divisible by items: no per-item split
+                coalesce = False
+                break
+            self.per_item.append(rows // self.capacity)
+        # warm-up: one full-geometry call compiles/loads the executable
+        # and measures the output rows per item for result splitting
+        zeros = [np.zeros(i["shape"], i["dtype"]) for i in ins]
+        out = module(*zeros)
+        self.out_shape = out.shape
+        if out.shape[0] % self.capacity:
+            coalesce = False
+        self.out_per_item = (out.shape[0] // self.capacity
+                             if not out.shape[0] % self.capacity else None)
+        self.coalesce = bool(coalesce)
+        self._q = queue.Queue()
+        self._lock = threading.Lock()  # no-coalesce fallback path
+        if self.coalesce:
+            t = threading.Thread(target=self._worker, daemon=True,
+                                 name="vlx-batcher")
+            t.start()
+
+    # ---- request-side API
+    def items_of(self, arrays):
+        """Validate leading dims; return the request's item count."""
+        ins = self.module.meta["inputs"]
+        if len(arrays) != len(ins):
+            raise ValueError("expected %d inputs %s; got %d"
+                             % (len(ins), [i["name"] for i in ins],
+                                len(arrays)))
+        if not self.coalesce:
+            return None
+        k = None
+        for a, per, spec in zip(arrays, self.per_item, ins):
+            if a.shape[1:] != tuple(spec["shape"][1:]):
+                raise ValueError(
+                    "input %s expects trailing shape %s; got %s"
+                    % (spec["name"], tuple(spec["shape"][1:]), a.shape))
+            if a.shape[0] % per:
+                raise ValueError(
+                    "input %s rows (%d) must be a multiple of the "
+                    "per-item row count %d"
+                    % (spec["name"], a.shape[0], per))
+            ak = a.shape[0] // per
+            if k is None:
+                k = ak
+            elif ak != k:
+                raise ValueError("inconsistent item count across inputs "
+                                 "(%d vs %d)" % (ak, k))
+        if not 1 <= k <= self.capacity:
+            raise ValueError("request carries %d items; the artifact "
+                             "serves 1..%d per call" % (k, self.capacity))
+        return k
+
+    def run(self, arrays):
+        """Run one request's arrays through the module; returns the
+        output rows belonging to this request."""
+        k = self.items_of(arrays)
+        if not self.coalesce:
+            with self._lock:
+                return self.module(*arrays)
+        p = _Pending(arrays, k)
+        self._q.put(p)
+        p.event.wait()
+        if p.err is not None:
+            raise p.err
+        return p.result
+
+    # ---- worker side
+    def _worker(self):
+        while True:
+            first = self._q.get()
+            batch = [first]
+            total = first.items
+            t_end = time.monotonic() + self.window_s
+            while total < self.capacity:
+                remaining = t_end - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if total + nxt.items > self.capacity:
+                    # would overflow: run it in the next batch
+                    self._q.put(nxt)
+                    break
+                batch.append(nxt)
+                total += nxt.items
+            try:
+                if len(batch) == 1:
+                    out = self.module(*batch[0].arrays)
+                    batch[0].result = out
+                else:
+                    joined = [np.concatenate([p.arrays[i] for p in batch])
+                              for i in range(len(batch[0].arrays))]
+                    out = self.module(*joined)
+                    row = 0
+                    for p in batch:
+                        take = p.items * self.out_per_item
+                        p.result = out[row:row + take]
+                        row += take
+                for p in batch:
+                    p.event.set()
+            except Exception as e:  # noqa: BLE001 — surface to waiters
+                for p in batch:
+                    p.err = e
+                    p.event.set()
+
+
+# ----------------------------------------------------------------- http
+
+
+def _softmax(x):
+    x = np.asarray(x, np.float64)
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _parse_npz(body):
+    with np.load(io.BytesIO(body)) as z:
+        return dict(z)
+
+
+def make_handler(batcher, idx2name):
+    from http.server import BaseHTTPRequestHandler
+
+    module = batcher.module
+    ins = module.meta["inputs"]
+    server_meta = dict(module.meta)
+    server_meta["server"] = {
+        "coalesce": batcher.coalesce,
+        "window_s": batcher.window_s,
+        "capacity_items": batcher.capacity,
+        "output_shape": list(map(int, batcher.out_shape)),
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through CustomLogger
+            info("serve: %s" % (fmt % args))
+
+        # -- helpers
+        def _send(self, code, payload, ctype="application/json"):
+            if isinstance(payload, (dict, list)):
+                payload = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _fail(self, code, msg):
+            self._send(code, {"error": str(msg)})
+
+        # -- routes
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif path == "/meta":
+                self._send(200, server_meta)
+            else:
+                self._fail(404, "unknown path %s" % path)
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/predict":
+                return self._fail(404, "unknown path %s" % path)
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").lower()
+                topk = 0
+                if "json" in ctype:
+                    doc = json.loads(body.decode("utf-8"))
+                    given = doc.get("inputs")
+                    topk = int(doc.get("topk", 0))
+                    if isinstance(given, dict):
+                        arrays = [np.asarray(given[s["name"]],
+                                             dtype=s["dtype"])
+                                  for s in ins]
+                    else:
+                        arrays = [np.asarray(v, dtype=s["dtype"])
+                                  for v, s in zip(given or [], ins)]
+                        if len(arrays) != len(ins):
+                            raise ValueError(
+                                "JSON 'inputs' needs %d entries" % len(ins))
+                else:
+                    named = _parse_npz(body)
+                    if all(s["name"] in named for s in ins):
+                        arrays = [np.asarray(named[s["name"]],
+                                             dtype=s["dtype"])
+                                  for s in ins]
+                    else:
+                        arrays = [np.asarray(named["arr_%d" % i],
+                                             dtype=s["dtype"])
+                                  for i, s in enumerate(ins)]
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                return self._fail(400, e)
+            try:
+                out = batcher.run(arrays)
+            except ValueError as e:
+                return self._fail(400, e)
+            except Exception as e:  # noqa: BLE001 — device faults -> 500
+                return self._fail(500, e)
+            if "format=npz" in query:
+                buf = io.BytesIO()
+                np.savez(buf, outputs=out)
+                return self._send(200, buf.getvalue(),
+                                  "application/x-npz")
+            doc = {"outputs": np.asarray(out).tolist()}
+            if topk:
+                probs = _softmax(out)
+                k = min(topk, probs.shape[-1])
+                order = np.argsort(-probs, axis=-1)[:, :k]
+                doc["topk"] = [
+                    [{"class": (idx2name.get(int(c), int(c))
+                                if idx2name else int(c)),
+                      "prob": float(p[c])}
+                     for c in row]
+                    for row, p in zip(order, probs)]
+            return self._send(200, doc)
+
+    return Handler
+
+
+def serve(artifact, port=8000, host="127.0.0.1", classes=None,
+          window_ms=3.0, coalesce=True, started=None):
+    """Blocking server loop. ``started`` (optional threading.Event) is
+    set with the bound (host, port) once listening — for tests."""
+    from http.server import ThreadingHTTPServer
+    from video_learning_tpu.tools.export_serving import load
+
+    module = load(artifact)
+    idx2name = None
+    if classes:
+        from video_learning_tpu.tools.combine_logits import load_class_map
+        idx2name = load_class_map(classes)[1]
+    info("Loaded %s (inputs=%s, batch_items=%s, quantize=%s, mesh=%s); "
+         "warming up..."
+         % (artifact, [i["name"] for i in module.meta["inputs"]],
+            module.meta["batch_items"], module.meta.get("quantize"),
+            module.meta.get("mesh")))
+    batcher = Batcher(module, window_s=window_ms / 1000.0,
+                      coalesce=coalesce)
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(batcher, idx2name))
+    info("Serving on http://%s:%d (coalesce=%s, window=%.1fms, "
+         "capacity=%d items)" % (httpd.server_address[0],
+                                 httpd.server_address[1],
+                                 batcher.coalesce, window_ms,
+                                 batcher.capacity))
+    if started is not None:
+        started.addr = httpd.server_address
+        started.httpd = httpd
+        started.batcher = batcher
+        started.set()
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return httpd
+
+
+def main(argv=None):
+    ensure_console_logging()
+    parser = argparse.ArgumentParser(
+        description="Serve an exported .vlx artifact over HTTP with "
+                    "request coalescing.")
+    parser.add_argument("artifact", help="path to the .vlx artifact")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--classes", help="'classname index' map file "
+                                          "for named top-k responses")
+    parser.add_argument("--window-ms", type=float, default=3.0,
+                        help="micro-batch coalescing window")
+    parser.add_argument("--no-batch", action="store_true",
+                        help="disable coalescing (serialize requests)")
+    args = parser.parse_args(argv)
+    if not (os.path.exists(args.artifact)
+            and zipfile.is_zipfile(args.artifact)):
+        error("Not a .vlx artifact: %s" % args.artifact)
+    serve(args.artifact, port=args.port, host=args.host,
+          classes=args.classes, window_ms=args.window_ms,
+          coalesce=not args.no_batch)
+
+
+if __name__ == "__main__":
+    main()
