@@ -58,6 +58,7 @@ class TrainOpts:
     clip_grads = None
     dropout_keep_prob = 0.5
     batch_item = defs.batch_item.default
+    accum_steps = 1                 # micro-batches per optimizer step
 
 
 class ValOpts:
@@ -333,6 +334,14 @@ class Settings:
                 tr.clip_grads = (None if not cg or cg == [None]
                                  else (float(cg[0]), float(cg[1])))
                 tr.dropout_keep_prob = float(obj.get("dropout_keep_prob", 0.5))
+                tr.accum_steps = int(obj.get("accum_steps", 1))
+                if tr.accum_steps < 1:
+                    error("accum_steps must be >= 1 (got %d)"
+                          % tr.accum_steps)
+                if tr.batch_size % tr.accum_steps:
+                    error("accum_steps (%d) must divide batch_size (%d): "
+                          "the batch is split into equal on-device "
+                          "micro-batches" % (tr.accum_steps, tr.batch_size))
                 self.train = tr
             if phase == defs.phase.val:
                 va = ValOpts()

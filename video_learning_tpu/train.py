@@ -22,6 +22,12 @@ single jitted step under a device mesh:
 
 The step is jitted once with donated state; batches are padded to the
 static batch geometry and sharded over the mesh's data axis.
+
+TPU-native addition: ``accum_steps: N`` splits each batch into N equal
+micro-batches inside the step (lax.scan) and applies ONE optimizer update
+from the accumulated sums — the masked-mean loss/grads are numerically
+identical to N=1 while peak activation memory drops ~N-fold (the lever
+for batch sizes past HBM, complementary to ``remat``).
 """
 
 import math
@@ -217,6 +223,9 @@ class Train:
         self.mesh = mesh_mod.make_mesh(settings.mesh_shape)
         self.data_sharding = mesh_mod.data_sharding(self.mesh)
 
+        self._accum = int(getattr(settings.train, "accum_steps", 1) or 1)
+        if self._accum > 1:
+            self._check_accum_geometry()
         self.params = model.init_params(jax.random.PRNGKey(seed))
         _, modified = model.param_groups()
         self.label_tree = make_label_tree(self.params, modified)
@@ -232,6 +241,35 @@ class Train:
         # safe at the cost of at most a few recompilations
         from video_learning_tpu.batching import BatchGeometry
         self._geometry = BatchGeometry()
+
+    def _check_accum_geometry(self):
+        """accum_steps splits the batch into EQUAL micro-batches along
+        every feed array's leading dim, which requires per-item row
+        counts to be uniform (micro-batch boundaries must align across
+        the visual/label/caption arrays).  Variable clips-per-video
+        batches under batch_item=default violate that — reject up front
+        instead of training on misaligned chunks."""
+        from video_learning_tpu.defs import defs as _defs
+        if self.settings.train.batch_item == _defs.batch_item.clip:
+            return
+        datasets = getattr(self.feeder, "datasets", {})
+        for d in datasets.get(_defs.phase.train, []):
+            cpv = getattr(d, "clips_per_video", None)
+            if isinstance(cpv, (list, tuple)) and len(set(cpv)) > 1:
+                error("accum_steps > 1 needs uniform batch geometry; "
+                      "dataset has variable clips-per-video (%d..%d). "
+                      "Use batch_item: defs.batch_item.clip or repack "
+                      "with a fixed cpv." % (min(cpv), max(cpv)))
+
+    def _check_accum_feed(self, feed):
+        """Friendly host-side divisibility check (a bad split would
+        otherwise surface as a cryptic reshape error at trace time)."""
+        for k, v in feed.items():
+            if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1 and \
+                    v.shape[0] % self._accum:
+                error("accum_steps=%d does not divide feed '%s' rows "
+                      "(%d); adjust batch_size/accum_steps"
+                      % (self._accum, k, v.shape[0]))
 
     # ------------------------------------------------------ preprocessors
     def _build_preprocessors(self):
@@ -261,31 +299,84 @@ class Train:
         lr_const = jnp.asarray(self.lr_array)
         preprocessors = self._preprocessors
         settings = self.settings
+        accum = int(getattr(settings.train, "accum_steps", 1) or 1)
 
-        def step_fn(params, opt_state, feed, step, rng):
+        def micro_sums(params, feed, rng):
+            """Masked SUMS over one (micro-)batch: grads of the summed
+            loss plus (loss_sum, mask_count, correct_count).  Dividing
+            the accumulated sums by the total mask count reproduces the
+            full-batch masked MEAN exactly (up to fp reassociation), so
+            accum_steps=N is numerically the N=1 step."""
             feed = dict(feed)
             for key, pre in preprocessors.items():
                 feed[key] = pre(feed[key], feed.pop(key + "/proc_params"))
-
             labels = feed["labels"]
             mask = feed.get("label_mask")
+            if mask is None:
+                mask = jnp.ones((labels.shape[0],), jnp.float32)
+            mask = mask.astype(jnp.float32)
 
-            def loss_fn(p):
+            def loss_sum_fn(p):
                 logits = model.apply(p, feed, train=True, dropout_rng=rng)
-                loss = softmax_cross_entropy(logits, labels, mask)
-                return loss, logits
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                per_row = -jnp.sum(labels.astype(jnp.float32) * logp, -1)
+                correct = (jnp.argmax(logits, 1) ==
+                           jnp.argmax(labels, 1)).astype(jnp.float32)
+                return jnp.sum(per_row * mask), jnp.sum(correct * mask)
 
-            (loss, logits), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            (loss_sum, correct), grads = jax.value_and_grad(
+                loss_sum_fn, has_aux=True)(params)
+            return grads, loss_sum, jnp.sum(mask), correct
+
+        def finish(params, opt_state, grads, sums, step):
+            loss_sum, count, correct = sums
+            denom = jnp.maximum(count, 1.0)
+            grads = jax.tree_util.tree_map(
+                lambda g: (g.astype(jnp.float32) / denom).astype(g.dtype),
+                grads)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             metrics = {
-                "loss": loss,
+                "loss": loss_sum / denom,
                 "lr": lr_const[jnp.clip(step, 0, lr_const.shape[0] - 1)],
                 "grad_norm": optax.global_norm(grads),
-                "accuracy": accuracy_metric(logits, labels, mask),
+                "accuracy": correct / denom,
             }
             return new_params, new_opt_state, metrics
+
+        if accum == 1:
+            def step_fn(params, opt_state, feed, step, rng):
+                grads, *sums = micro_sums(params, feed, rng)
+                return finish(params, opt_state, grads, sums, step)
+        else:
+            def step_fn(params, opt_state, feed, step, rng):
+                # split every feed array's leading dim into ``accum``
+                # equal micro-batches; lax.scan holds one micro-batch of
+                # activations live at a time (activation memory / accum)
+                chunked, static = {}, {}
+                for k, v in feed.items():
+                    if hasattr(v, "shape") and v.ndim >= 1:
+                        rows = v.shape[0]
+                        chunked[k] = v.reshape(
+                            (accum, rows // accum) + v.shape[1:])
+                    else:
+                        static[k] = v
+
+                def body(carry, xs):
+                    g_acc, ls, cnt, cor = carry
+                    i, feed_i = xs
+                    g, s, c, ok = micro_sums(
+                        params, dict(static, **feed_i),
+                        jax.random.fold_in(rng, i))
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                    return (g_acc, ls + s, cnt + c, cor + ok), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (grads, ls, cnt, cor), _ = jax.lax.scan(
+                    body, (zeros, 0.0, 0.0, 0.0),
+                    (jnp.arange(accum), chunked))
+                return finish(params, opt_state, grads, (ls, cnt, cor),
+                              step)
 
         self.raw_step = step_fn
         return jax.jit(step_fn, donate_argnums=(0, 1))
@@ -339,6 +430,8 @@ class Train:
         step's compute; run_step detects prepared feeds and skips the
         work."""
         feed = self._pad_feed(feed)
+        if self._accum > 1:
+            self._check_accum_feed(feed)
         feed = self._shard_feed(feed)
         feed["__on_device__"] = True
         return feed
@@ -347,6 +440,8 @@ class Train:
         """One optimizer step on a host feed dict; returns host metrics."""
         if not feed.pop("__on_device__", False):
             feed = self._pad_feed(feed)
+            if self._accum > 1:
+                self._check_accum_feed(feed)
             feed = self._shard_feed(feed)
         rng = jax.random.fold_in(self.base_rng, self.global_step)
         self.params, self.opt_state, metrics = self._step_fn(
