@@ -376,3 +376,34 @@ def test_accum_steps_config_validation(packed_tree):
     p.write_text(yaml.safe_dump(docs))
     with pytest.raises(Exception, match="accum_steps"):
         Settings().initialize(str(p))
+
+
+def test_compile_cache_persists_executables(packed_tree):
+    """compile_cache: <dir> turns on the persistent XLA compilation
+    cache: the jitted train step lands on disk, so a restarted process
+    (e.g. a preemption resume) skips recompilation."""
+    import jax
+    import shutil
+    from video_learning_tpu import run_task
+    tmp_path, tree = packed_tree
+    cache_dir = tmp_path / "xla_cache"
+    cfg, _ = _run_config(tmp_path, tree, "train", epochs=1)
+    docs = yaml.safe_load(cfg.read_text())
+    folder = tmp_path / "ccrun"
+    if folder.exists():
+        shutil.rmtree(folder)
+    docs["run"]["run_folder"] = str(folder)
+    docs["run"]["compile_cache"] = str(cache_dir)
+    p = tmp_path / "ccrun.yml"
+    p.write_text(yaml.safe_dump(docs))
+    try:
+        run_task.main(str(p))
+        entries = list(cache_dir.iterdir())
+        assert entries, "no compiled executables were cached"
+    finally:
+        # the cache config is process-global: restore the defaults so
+        # other tests don't write into this tmpdir
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -245,6 +245,27 @@ class Settings:
         if config.get("compute_dtype"):
             self.compute_dtype = str(config["compute_dtype"])
         self.remat = bool(config.get("remat", False))
+        # persistent XLA compilation cache: executables from previous
+        # processes are reused, so restarts / preemption resumes /
+        # multi-checkpoint eval fan-outs skip the 20-40 s TPU compile.
+        # Value: a directory path, or True for the default user cache.
+        self.compile_cache = config.get("compile_cache")
+        if self.compile_cache:
+            path = (self.compile_cache if isinstance(self.compile_cache,
+                                                     str)
+                    else "~/.cache/video_learning_tpu/xla")
+            path = os.path.abspath(os.path.expanduser(path))
+            os.makedirs(path, exist_ok=True)
+            import jax
+            jax.config.update("jax_compilation_cache_dir", path)
+            # cache every executable (the default 1 s threshold would
+            # skip small-geometry runs entirely; entries are cheap)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              0)
+            self.compile_cache = path
+            info("Persistent compilation cache: %s" % path)
         self.checkpoint_backend = str(config.get("checkpoint_backend",
                                                  "npz"))
         if self.checkpoint_backend == "pickle":
