@@ -345,3 +345,39 @@ def test_export_serving_multidevice(trained_video_run, tmp_path):
     a = s1(*arrays)
     b = s4(*arrays)
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+def test_export_serving_bucketed(trained_video_run, tmp_path):
+    """--batch-items 1,2,4 exports one artifact with three static-batch
+    executables; calls route to the smallest bucket that fits and match
+    the largest bucket's rows exactly (per-item independence)."""
+    from video_learning_tpu.tools import export_serving as exp_mod
+
+    _, cfg, vids = trained_video_run
+    out = tmp_path / "buckets.vlx"
+    meta = exp_mod.main([str(cfg), "--out", str(out),
+                         "--batch-items", "4,1,2", "--platforms", "cpu"])
+    assert meta["buckets"] == [1, 2, 4]
+    assert meta["batch_items"] == 4
+    assert meta["format"] == "vlx-2"
+
+    serving = exp_mod.load(str(out))
+    ins = serving.meta["inputs"]
+    per_item = [int(i["shape"][0]) // 4 for i in ins]
+    rng = np.random.RandomState(7)
+    full = [rng.randint(0, 200, i["shape"]).astype(i["dtype"])
+            for i in ins]
+    warm = serving.warmup()      # loads every bucket's executable
+    assert warm.shape[0] == warm.shape[0] // 4 * 4
+    ref = serving(*full)
+    assert serving.last_bucket == 4
+
+    # 1 item -> bucket 1; 2 -> 2; 3 -> 4 (smallest fitting)
+    for items, want_bucket in ((1, 1), (2, 2), (3, 4)):
+        part = [a[: p * items] for a, p in zip(full, per_item)]
+        got = serving(*part)
+        assert serving.last_bucket == want_bucket, (items, want_bucket)
+        out_rows = ref.shape[0] // 4 * items
+        assert got.shape[0] == out_rows
+        np.testing.assert_allclose(got, ref[:out_rows],
+                                   rtol=1e-5, atol=1e-5)

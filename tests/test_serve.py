@@ -44,8 +44,10 @@ def served_artifact(tmp_path_factory):
     run_task.main(str(cfg))
 
     artifact = tmp_path / "model.vlx"
+    # bucketed artifact: a lone 1-item request routes to the size-1
+    # executable instead of padding to capacity
     exp_mod.main([str(cfg), "--out", str(artifact),
-                  "--batch-items", "2", "--platforms", "cpu"])
+                  "--batch-items", "1,2", "--platforms", "cpu"])
     module = exp_mod.load(str(artifact))
 
     classes = tmp_path / "classes.txt"
@@ -212,3 +214,22 @@ def test_predict_errors(served_artifact):
     # malformed json -> 400
     status, _ = _post(conn, b"{not json", "application/json")
     assert status == 400
+
+
+def test_single_item_routes_to_small_bucket(served_artifact):
+    """A lone 1-item request is served by the size-1 bucket (no
+    full-capacity padding), and matches the ground-truth module rows."""
+    module, conn, started = served_artifact
+    arrays = _items(module, 1, seed=9)
+    buf = io.BytesIO()
+    np.savez(buf, **{s["name"]: a
+                     for s, a in zip(module.meta["inputs"], arrays)})
+    status, data = _post(conn, buf.getvalue(), "application/x-npz")
+    assert status == 200
+    got = np.asarray(json.loads(data)["outputs"])
+    want = module(*arrays)
+    assert module.last_bucket == 1
+    # the server's module instance also took the 1-item bucket
+    assert started.batcher.module.last_bucket == 1
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert started.batcher.module.meta["buckets"] == [1, 2]

@@ -100,7 +100,13 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
     artifact: visual inputs annotated batch-sharded over the data axis,
     output replicated, GSPMD partitioning baked into the StableHLO — the
     consumer calls it on any same-shape mesh (the loader rebuilds the
-    mesh and places inputs; see ServingModule)."""
+    mesh and places inputs; see ServingModule).
+
+    ``batch_items`` may be a LIST of sizes (e.g. [1, 8, 32]): the same
+    forward is exported once per size into one artifact and the loader
+    routes each call to the smallest bucket that fits — static XLA
+    shapes (one compiled program per bucket, TPU-right) without making
+    a single request pay full-capacity latency."""
     import jax
     from jax import export as jax_export
 
@@ -135,7 +141,12 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
             else "image"
         use_fpc = fpc or t_fpc
 
-        batch_items = batch_items or 8
+        buckets = sorted(set(int(b) for b in batch_items)) \
+            if isinstance(batch_items, (list, tuple)) else \
+            [int(batch_items or 8)]
+        if buckets[0] < 1:
+            error("batch sizes must be >= 1 (got %s)" % buckets)
+        batch_items = buckets[-1]
         media = _dummy_media(workdir, dcfg, kind, use_fpc,
                              cpv or t_cpv, batch_items)
         settings, feeder, model, params, val, kind = \
@@ -178,8 +189,27 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
                                          platforms=plats)(*specs)
         blob = exported.serialize()
 
+        # smaller buckets: the SAME forward at scaled leading dims (all
+        # feed rows are proportional to the item count)
+        bucket_blobs = {}
+        for b in buckets[:-1]:
+            specs_b = []
+            for s in specs:
+                rows = int(s.shape[0])
+                if rows % batch_items:
+                    error("Input rows (%d) are not a multiple of the "
+                          "batch item count (%d); bucketed export needs "
+                          "uniform per-item geometry"
+                          % (rows, batch_items))
+                specs_b.append(jax.ShapeDtypeStruct(
+                    (rows // batch_items * b,) + tuple(s.shape[1:]),
+                    s.dtype))
+            bucket_blobs[b] = jax_export.export(
+                jax.jit(serve, **jit_kw),
+                platforms=plats)(*specs_b).serialize()
+
         meta = {
-            "format": "vlx-1",
+            "format": "vlx-1" if len(buckets) == 1 else "vlx-2",
             "inputs": [{"name": n,
                         "shape": list(map(int, specs[i].shape)),
                         "dtype": str(np.dtype(specs[i].dtype))}
@@ -187,6 +217,7 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
             "output": {"kind": "logits",
                        "num_classes": int(settings.num_classes)},
             "batch_items": int(batch_items),
+            "buckets": [int(b) for b in buckets],
             "frames_per_clip": int(use_fpc or 1),
             "clips_per_item": int(cpv or t_cpv or 1),
             "quantize": "int8" if int8 else None,
@@ -200,10 +231,13 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
         }
         with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
             z.writestr(_FORWARD_NAME, blob)
+            for b, bb in bucket_blobs.items():
+                z.writestr("forward_%d.bin" % b, bb)
             z.writestr(_META_NAME, json.dumps(meta, indent=1))
         info("Exported serving artifact: %s (%.1f MB, platforms=%s, "
-             "inputs=%s)" % (out, os.path.getsize(out) / 1e6,
-                             ",".join(plats), names))
+             "buckets=%s, inputs=%s)"
+             % (out, os.path.getsize(out) / 1e6, ",".join(plats),
+                buckets, names))
         return meta
     finally:
         if owns_workdir:
@@ -216,14 +250,26 @@ class ServingModule:
     described by ``.meta['inputs']`` (a short batch is zero-padded to the
     exported geometry and the padding rows dropped from the output).
 
+    Bucketed artifacts (``meta['buckets']``, vlx-2) hold the same
+    forward at several static batch sizes; each call routes to the
+    smallest bucket that fits, so a single-item request pays
+    single-item latency instead of full-capacity padding
+    (``.last_bucket`` records the choice).
+
     Multi-device artifacts (``meta['mesh']``) rebuild a same-shape mesh
     from ``jax.devices()`` at load time and shard inputs over its data
     axis before the call — the consumer just needs >= the exported
     device count visible."""
 
-    def __init__(self, exported, meta):
+    def __init__(self, exported, meta, bucket_exports=None):
         self._exported = exported
         self.meta = meta
+        # ascending (bucket, exported); the meta['inputs'] specs always
+        # describe the LARGEST bucket
+        cap = int(meta["batch_items"])
+        self._buckets = sorted((bucket_exports or {}).items())
+        self._buckets.append((cap, exported))
+        self.last_bucket = None
         self._in_sharding = None
         if meta.get("mesh"):
             import jax
@@ -243,26 +289,43 @@ class ServingModule:
 
     def __call__(self, *arrays):
         ins = self.meta["inputs"]
+        cap = int(self.meta["batch_items"])
         if len(arrays) != len(ins):
             error("Serving artifact takes %d inputs %s; got %d"
                   % (len(ins), [i["name"] for i in ins], len(arrays)))
-        rows = None
-        padded = []
+        # validate + establish the shared batch fraction vs the largest
+        # bucket's specs
+        frac = None
+        arrays = [np.asarray(a, dtype=s["dtype"])
+                  for a, s in zip(arrays, ins)]
         for a, spec in zip(arrays, ins):
-            a = np.asarray(a, dtype=spec["dtype"])
             want = tuple(spec["shape"])
-            if a.shape != want:
+            if a.shape == want:
+                f = 1.0
+            else:
                 if a.shape[1:] != want[1:] or a.shape[0] > want[0]:
                     error("Input %s expects shape %s (leading dim may "
                           "be smaller); got %s"
                           % (spec["name"], want, a.shape))
+                f = a.shape[0] / want[0]
+            if frac is None:
+                frac = f
+            elif abs(f - frac) > 1e-9:
+                error("Inconsistent partial batch across inputs")
+        # smallest bucket that fits (bucket rows are per-item multiples,
+        # so b/cap >= frac <=> every input fits in bucket b)
+        bucket, exported = next(
+            ((b, e) for b, e in self._buckets
+             if b + 1e-9 >= frac * cap), self._buckets[-1])
+        self.last_bucket = bucket
+        rows = None
+        padded = []
+        for a, spec in zip(arrays, ins):
+            want_rows = int(spec["shape"][0]) * bucket // cap
+            if a.shape[0] != want_rows:
                 if rows is None:
-                    # every input shares the batch fraction: row counts
-                    # scale with the same item count
-                    rows = a.shape[0] / want[0]
-                elif abs(a.shape[0] / want[0] - rows) > 1e-9:
-                    error("Inconsistent partial batch across inputs")
-                pad = [(0, want[0] - a.shape[0])] + \
+                    rows = a.shape[0] / want_rows
+                pad = [(0, want_rows - a.shape[0])] + \
                     [(0, 0)] * (a.ndim - 1)
                 a = np.pad(a, pad)
             padded.append(a)
@@ -270,9 +333,22 @@ class ServingModule:
             import jax
             padded = [jax.device_put(a, self._in_sharding)
                       for a in padded]
-        out = np.asarray(self._exported.call(*padded))
+        out = np.asarray(exported.call(*padded))
         if rows is not None:
             out = out[:max(int(round(out.shape[0] * rows)), 1)]
+        return out
+
+    def warmup(self):
+        """Run zeros through EVERY bucket (executable load/compile is
+        lazy per bucket); returns the largest bucket's output."""
+        ins = self.meta["inputs"]
+        cap = int(self.meta["batch_items"])
+        out = None
+        for b, _ in self._buckets:
+            zeros = [np.zeros((int(s["shape"][0]) * b // cap,)
+                              + tuple(s["shape"][1:]), s["dtype"])
+                     for s in ins]
+            out = self(*zeros)
         return out
 
 
@@ -282,7 +358,13 @@ def load(path):
     with zipfile.ZipFile(path) as z:
         meta = json.loads(z.read(_META_NAME).decode("utf-8"))
         exported = jax_export.deserialize(bytearray(z.read(_FORWARD_NAME)))
-    return ServingModule(exported, meta)
+        buckets = {}
+        for b in meta.get("buckets", []):
+            name = "forward_%d.bin" % b
+            if name in z.namelist():
+                buckets[int(b)] = jax_export.deserialize(
+                    bytearray(z.read(name)))
+    return ServingModule(exported, meta, bucket_exports=buckets)
 
 
 def main(argv=None):
@@ -294,8 +376,11 @@ def main(argv=None):
     parser.add_argument("--out", required=True, help="output .vlx path")
     parser.add_argument("--checkpoint", default="latest",
                         help="'latest', a checkpoint path, or 'none'")
-    parser.add_argument("--batch-items", type=int, default=8,
-                        help="exported (static) batch size in items")
+    parser.add_argument("--batch-items", default="8",
+                        help="exported (static) batch size in items; a "
+                             "comma list (e.g. 1,8,32) exports bucketed "
+                             "executables and calls route to the "
+                             "smallest fitting bucket")
     parser.add_argument("--fpc", type=int,
                         help="frames per clip (default: training .size)")
     parser.add_argument("--cpv", type=int, help="clips per item")
@@ -320,8 +405,16 @@ def main(argv=None):
                           (kv.split("=") for kv in args.mesh.split(","))}
         except ValueError:
             error("--mesh expects 'data=N[,model=M]'; got %r" % args.mesh)
+    try:
+        batch_items = [int(b) for b in
+                       str(args.batch_items).split(",") if b.strip()]
+    except ValueError:
+        error("--batch-items expects an int or comma list; got %r"
+              % args.batch_items)
+    if len(batch_items) == 1:
+        batch_items = batch_items[0]
     meta = export(args.config, args.out, checkpoint=args.checkpoint,
-                  batch_items=args.batch_items, fpc=args.fpc,
+                  batch_items=batch_items, fpc=args.fpc,
                   cpv=args.cpv, workdir=args.workdir, int8=args.int8,
                   platforms=args.platforms, mesh_shape=mesh_shape)
     if args.selftest:

@@ -86,10 +86,14 @@ class Batcher:
                 coalesce = False
                 break
             self.per_item.append(rows // self.capacity)
-        # warm-up: one full-geometry call compiles/loads the executable
-        # and measures the output rows per item for result splitting
-        zeros = [np.zeros(i["shape"], i["dtype"]) for i in ins]
-        out = module(*zeros)
+        # warm-up: run every bucket once (executable load is lazy per
+        # bucket) — the largest call also measures the output rows per
+        # item for result splitting
+        if hasattr(module, "warmup"):
+            out = module.warmup()
+        else:
+            zeros = [np.zeros(i["shape"], i["dtype"]) for i in ins]
+            out = module(*zeros)
         self.out_shape = out.shape
         if out.shape[0] % self.capacity:
             coalesce = False
@@ -216,6 +220,8 @@ def make_handler(batcher, idx2name):
         "coalesce": batcher.coalesce,
         "window_s": batcher.window_s,
         "capacity_items": batcher.capacity,
+        "buckets": module.meta.get("buckets",
+                                   [int(module.meta["batch_items"])]),
         "output_shape": list(map(int, batcher.out_shape)),
     }
 
