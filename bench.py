@@ -375,6 +375,83 @@ def run_eval(args):
     return result
 
 
+def run_latency(args):
+    """Serving latency by batch bucket: device time of ONE forward call
+    at each static batch size (the quantity the bucketed .vlx export
+    trades on — a lone request on a size-1 bucket vs padded to
+    capacity).  Scan-timed with device-resident operands, so the number
+    is the TPU compute cost per call; network/dispatch latency is
+    deployment-specific (and tunnel-dominated in this environment)."""
+    force_cpu = args.cpu
+    if not force_cpu and not _probe_accelerator():
+        sys.stderr.write("Accelerator unresponsive; latency on CPU\n")
+        force_cpu = True
+    import jax
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from video_learning_tpu.parallel.mesh import init_platform
+    init_platform()
+    on_cpu = jax.devices()[0].platform == "cpu"
+
+    fpc = args.fpc
+    num_classes = 101
+    raw_hw, crop = (240, 320), 227
+    compute_dtype = "float32" if on_cpu else "bfloat16"
+    cap = args.batch_clips or (2 if on_cpu else 128)
+    buckets = sorted({1, 8, 32, cap} if not on_cpu else {1, cap})
+    buckets = [b for b in buckets if b <= cap]
+
+    settings, model, engine = build(cap, fpc, raw_hw, crop, num_classes,
+                                    compute_dtype)
+    from video_learning_tpu.defs import defs
+    from video_learning_tpu.ops.preprocess import make_preprocessor
+    from video_learning_tpu.tools.profile_ablation import _timed
+    dset = settings.feeder.get_dataset_by_tag(defs.dataset_tag.main)[0]
+    pre = make_preprocessor(dset.processor, out_dtype=model.compute_dtype)
+    quantize = "int8" if args.int8 else None
+    fwd_params = model.quantize_params(engine.params) if quantize \
+        else engine.params
+
+    def fwd(params, prms, frames):
+        x = pre(frames, prms)
+        return model.apply(params, {"frames_main_input": x}, train=False,
+                           quantize=quantize)
+
+    rng = np.random.RandomState(0)
+    beat = _start_stall_watchdog()
+    per_bucket = {}
+    steps = args.steps or (2 if on_cpu else 20)
+    for b in buckets:
+        n = b * fpc
+        raw = jax.device_put(
+            rng.randint(0, 256, (n,) + raw_hw + (3,), np.uint8))
+        prms = np.zeros((n, 3), np.int32)
+        prms[:, 0] = rng.randint(0, raw_hw[0] - crop + 1, n)
+        prms[:, 1] = rng.randint(0, raw_hw[1] - crop + 1, n)
+        prms = jax.device_put(prms)
+        beat()
+        sec = _timed(fwd, fwd_params, prms, raw, inner=steps,
+                     reps=1 if on_cpu else 3)
+        beat()
+        per_bucket[b] = round(sec * 1000.0, 3)
+        sys.stderr.write("bucket %3d: %.3f ms/call\n" % (b, sec * 1000))
+
+    metric = "serving_forward_ms_per_call_bucket1_fpc%d" % fpc
+    if args.int8:
+        metric += "_int8"
+    result = {
+        "metric": metric,
+        "value": per_bucket[buckets[0]],
+        "unit": "ms",
+        # how much a lone request saves vs full-capacity padding
+        "vs_baseline": round(per_bucket[cap] / per_bucket[buckets[0]], 2),
+        "per_bucket_ms": per_bucket,
+        "capacity": cap,
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
@@ -390,7 +467,11 @@ def main():
                     help="forward-only serving throughput")
     ap.add_argument("--int8", action="store_true",
                     help="with --eval: w8a8-quantize the frame encoder")
+    ap.add_argument("--latency", action="store_true",
+                    help="serving forward ms/call by batch bucket")
     args = ap.parse_args()
+    if args.latency:
+        return run_latency(args)
     if args.eval:
         return run_eval(args)
     if args.e2e or args.e2e_transfer:
