@@ -23,6 +23,9 @@ the module loads with jax + numpy only):
 
   GET  /healthz        -> 200 "ok" once the warm-up call has finished
   GET  /meta           -> the artifact's meta.json (+ server settings)
+  GET  /metrics        -> Prometheus text exposition: request counts by
+                          status, items served, request latency sum,
+                          device calls by bucket, coalesced batches
   POST /predict        -> run the forward
       JSON body: {"inputs": {name: nested-list, ...}} or
                  {"inputs": [nested-list, ...]} (positional), optional
@@ -50,6 +53,54 @@ import numpy as np
 
 from video_learning_tpu.utils import ensure_console_logging, error, info
 
+# --------------------------------------------------------------- metrics
+
+
+class Stats:
+    """Thread-safe serving counters, exposed at /metrics in Prometheus
+    text exposition format (scrape-ready; no client library needed)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = {}          # status code -> count
+        self.items = 0              # items served (2xx only)
+        self.request_seconds = 0.0  # summed request wall time
+        self.device_calls = {}      # bucket (batch items) -> count
+        self.coalesced = 0          # device calls serving >1 request
+
+    def request(self, status, seconds, items=0):
+        with self._lock:
+            self.requests[status] = self.requests.get(status, 0) + 1
+            self.request_seconds += seconds
+            if 200 <= status < 300:
+                self.items += items
+
+    def device_call(self, bucket, requests_in_batch):
+        with self._lock:
+            self.device_calls[bucket] = \
+                self.device_calls.get(bucket, 0) + 1
+            if requests_in_batch > 1:
+                self.coalesced += 1
+
+    def render(self):
+        with self._lock:
+            lines = [
+                "# TYPE vlx_requests_total counter",
+                *("vlx_requests_total{status=\"%d\"} %d" % (s, c)
+                  for s, c in sorted(self.requests.items())),
+                "# TYPE vlx_items_total counter",
+                "vlx_items_total %d" % self.items,
+                "# TYPE vlx_request_seconds_total counter",
+                "vlx_request_seconds_total %.6f" % self.request_seconds,
+                "# TYPE vlx_device_calls_total counter",
+                *("vlx_device_calls_total{bucket=\"%d\"} %d" % (b, c)
+                  for b, c in sorted(self.device_calls.items())),
+                "# TYPE vlx_coalesced_batches_total counter",
+                "vlx_coalesced_batches_total %d" % self.coalesced,
+            ]
+        return ("\n".join(lines) + "\n").encode("utf-8")
+
+
 # --------------------------------------------------------------- batcher
 
 
@@ -72,8 +123,9 @@ class Batcher:
     long the first request of a batch waits for company.
     """
 
-    def __init__(self, module, window_s=0.003, coalesce=True):
+    def __init__(self, module, window_s=0.003, coalesce=True, stats=None):
         self.module = module
+        self.stats = stats or Stats()
         self.window_s = float(window_s)
         meta = module.meta
         self.capacity = int(meta["batch_items"])
@@ -145,7 +197,11 @@ class Batcher:
         k = self.items_of(arrays)
         if not self.coalesce:
             with self._lock:
-                return self.module(*arrays)
+                out = self.module(*arrays)
+                self.stats.device_call(
+                    getattr(self.module, "last_bucket", None)
+                    or self.capacity, 1)
+                return out
         p = _Pending(arrays, k)
         self._q.put(p)
         p.event.wait()
@@ -187,6 +243,9 @@ class Batcher:
                         take = p.items * self.out_per_item
                         p.result = out[row:row + take]
                         row += take
+                self.stats.device_call(
+                    getattr(self.module, "last_bucket", None)
+                    or self.capacity, len(batch))
                 for p in batch:
                     p.event.set()
             except Exception as e:  # noqa: BLE001 — surface to waiters
@@ -235,6 +294,7 @@ def make_handler(batcher, idx2name):
         def _send(self, code, payload, ctype="application/json"):
             if isinstance(payload, (dict, list)):
                 payload = json.dumps(payload).encode("utf-8")
+            self._last_status = code
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
@@ -251,10 +311,24 @@ def make_handler(batcher, idx2name):
                 self._send(200, b"ok", "text/plain")
             elif path == "/meta":
                 self._send(200, server_meta)
+            elif path == "/metrics":
+                self._send(200, batcher.stats.render(),
+                           "text/plain; version=0.0.4")
             else:
                 self._fail(404, "unknown path %s" % path)
 
         def do_POST(self):
+            t0 = time.monotonic()
+            self._last_status = 500
+            self._predict_items = 0
+            try:
+                self._predict()
+            finally:
+                batcher.stats.request(self._last_status,
+                                      time.monotonic() - t0,
+                                      self._predict_items)
+
+        def _predict(self):
             path, _, query = self.path.partition("?")
             if path != "/predict":
                 return self._fail(404, "unknown path %s" % path)
@@ -295,6 +369,9 @@ def make_handler(batcher, idx2name):
                 return self._fail(400, e)
             except Exception as e:  # noqa: BLE001 — device faults -> 500
                 return self._fail(500, e)
+            if batcher.coalesce and batcher.per_item:
+                self._predict_items = \
+                    arrays[0].shape[0] // batcher.per_item[0]
             if "format=npz" in query:
                 buf = io.BytesIO()
                 np.savez(buf, outputs=out)
@@ -319,9 +396,18 @@ def make_handler(batcher, idx2name):
 def serve(artifact, port=8000, host="127.0.0.1", classes=None,
           window_ms=3.0, coalesce=True, started=None):
     """Blocking server loop. ``started`` (optional threading.Event) is
-    set with the bound (host, port) once listening — for tests."""
+    set with the bound (host, port) once listening — for tests.
+
+    SIGTERM (the cloud scheduler's grace signal) drains gracefully:
+    the accept loop stops, in-flight requests finish (non-daemon
+    handler threads + block_on_close), then the process exits —
+    mirroring run_task's preemption-safe training shutdown."""
     from http.server import ThreadingHTTPServer
     from video_learning_tpu.tools.export_serving import load
+
+    class _Server(ThreadingHTTPServer):
+        daemon_threads = False      # wait for in-flight requests
+        block_on_close = True
 
     module = load(artifact)
     idx2name = None
@@ -335,8 +421,18 @@ def serve(artifact, port=8000, host="127.0.0.1", classes=None,
             module.meta.get("mesh")))
     batcher = Batcher(module, window_s=window_ms / 1000.0,
                       coalesce=coalesce)
-    httpd = ThreadingHTTPServer((host, port),
-                                make_handler(batcher, idx2name))
+    httpd = _Server((host, port), make_handler(batcher, idx2name))
+    # graceful drain on the scheduler's grace signal (main thread only;
+    # shutdown() must run off-thread — it joins the serve loop we're in)
+    import signal
+    prev_term = None
+    try:
+        prev_term = signal.signal(
+            signal.SIGTERM,
+            lambda signum, frame: threading.Thread(
+                target=httpd.shutdown, daemon=True).start())
+    except ValueError:
+        pass                        # not the main thread (tests)
     info("Serving on http://%s:%d (coalesce=%s, window=%.1fms, "
          "capacity=%d items)" % (httpd.server_address[0],
                                  httpd.server_address[1],
@@ -352,7 +448,10 @@ def serve(artifact, port=8000, host="127.0.0.1", classes=None,
     except KeyboardInterrupt:
         pass
     finally:
-        httpd.server_close()
+        httpd.server_close()    # blocks until in-flight requests finish
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
+        info("Server drained and closed.")
     return httpd
 
 
