@@ -381,3 +381,105 @@ def test_export_serving_bucketed(trained_video_run, tmp_path):
         assert got.shape[0] == out_rows
         np.testing.assert_allclose(got, ref[:out_rows],
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_export_serving_captioner(caption_fixture, tmp_path):  # noqa: F811
+    """Caption AOT export: the artifact runs the on-device greedy decode
+    (embedding baked in), returns (B, T) int32 word indices, carries the
+    vocabulary in meta, and its trimmed captions match tools/infer on
+    the same images + checkpoint."""
+    import shutil
+
+    from tests.test_caption_e2e import _cfg
+    from video_learning_tpu.tools import export_serving as exp_mod
+
+    fix_path, paths_file, emb_path, gt_path, vocab = caption_fixture
+    run_folder = fix_path / "run"
+    if run_folder.exists():
+        shutil.rmtree(run_folder)
+    cfg = _cfg(fix_path, paths_file, emb_path, gt_path, "train")
+    run_task.main(str(cfg))
+
+    out = tmp_path / "captioner.vlx"
+    meta = exp_mod.main([str(cfg), "--out", str(out),
+                         "--batch-items", "2", "--platforms", "cpu"])
+    assert meta["output"]["kind"] == "token_ids"
+    assert meta["output"]["vocabulary"] == list(vocab)
+
+    # ground truth through the in-process serving CLI on real images
+    media = sorted(str(p) for p in (fix_path / "imgs").glob("*.jpg"))[:2]
+    results = infer_mod.infer(str(cfg), media, checkpoint="latest",
+                              workdir=str(tmp_path / "cw"))
+
+    # drive the artifact with the same packed batch the CLI built: rerun
+    # the context to capture the feed arrays
+    from video_learning_tpu import run_task as rt
+    from video_learning_tpu.batching import BatchGeometry
+    (tmp_path / "cw2").mkdir()
+    settings, feeder, model, params, val, kind = \
+        infer_mod.build_serving_context(str(cfg), media, "latest",
+                                        None, None,
+                                        str(tmp_path / "cw2"),
+                                        batch_size=2)
+    assert feeder.loop()
+    feed, batches = feeder.get_feed(model.required_input)
+    feed = rt._prepare_feed(feed, batches, model)
+    feed, _, _ = BatchGeometry().pad_feed(feed)
+
+    serving = exp_mod.load(str(out))
+    arrays = [feed[i["name"]] for i in serving.meta["inputs"]]
+    ids = serving(*arrays)
+    assert ids.dtype.kind in "iu" and ids.ndim == 2
+    caps = serving.captions_from_ids(ids)
+    assert caps == [r["caption"] for r in results]
+
+
+def test_serve_captioner_http(caption_fixture, tmp_path):  # noqa: F811
+    """The HTTP server recognizes a caption artifact and returns decoded
+    strings alongside the raw index rows."""
+    import http.client
+    import io
+    import threading
+
+    from tests.test_caption_e2e import _cfg
+    from video_learning_tpu.tools import export_serving as exp_mod
+    from video_learning_tpu.tools import serve as serve_mod
+
+    fix_path, paths_file, emb_path, gt_path, vocab = caption_fixture
+    cfg = _cfg(fix_path, paths_file, emb_path, gt_path, "train")
+    run_folder = fix_path / "run"
+    if not (run_folder / "checkpoints").exists():
+        run_task.main(str(cfg))
+    out = tmp_path / "cap.vlx"
+    exp_mod.main([str(cfg), "--out", str(out),
+                  "--batch-items", "2", "--platforms", "cpu"])
+    module = exp_mod.load(str(out))
+
+    started = threading.Event()
+    t = threading.Thread(target=serve_mod.serve, args=(str(out),),
+                         kwargs=dict(port=0, window_ms=5.0,
+                                     started=started), daemon=True)
+    t.start()
+    assert started.wait(timeout=120)
+    host, port = started.addr
+    try:
+        rng = np.random.RandomState(0)
+        arrays = [rng.randint(0, 200, i["shape"]).astype(i["dtype"])
+                  for i in module.meta["inputs"]]
+        want_caps = module.captions(*arrays)
+        buf = io.BytesIO()
+        np.savez(buf, **{s["name"]: a for s, a in
+                         zip(module.meta["inputs"], arrays)})
+        c = http.client.HTTPConnection(host, port, timeout=60)
+        c.request("POST", "/predict", body=buf.getvalue(),
+                  headers={"Content-Type": "application/x-npz"})
+        r = c.getresponse()
+        doc = json.loads(r.read())
+        c.close()
+        assert r.status == 200
+        assert doc["captions"] == want_caps
+        for cap in doc["captions"]:
+            for w in cap.split():
+                assert w in vocab
+    finally:
+        started.httpd.shutdown()

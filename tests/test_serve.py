@@ -262,8 +262,16 @@ def test_metrics_endpoint(served_artifact):
                      for s, a in zip(module.meta["inputs"], arrays)})
     status, _ = _post(conn, buf.getvalue(), "application/x-npz")
     assert status == 200
-    after = scrape()
+    # counters are recorded after the response bytes go out (do_POST's
+    # finally); give the handler thread a beat to reach it
+    import time as time_mod
     k200 = 'vlx_requests_total{status="200"}'
+    deadline = time_mod.time() + 5.0
+    after = scrape()
+    while after.get(k200, 0) < before.get(k200, 0) + 1 and \
+            time_mod.time() < deadline:
+        time_mod.sleep(0.05)
+        after = scrape()
     assert after[k200] == before.get(k200, 0) + 1
     assert after["vlx_items_total"] == before.get("vlx_items_total",
                                                   0) + 2

@@ -25,8 +25,10 @@ The exported signature is the framework's own val-feed layout, captured
 from a REAL packed batch (a synthesized dummy batch of the configured
 geometry travels the production serialize -> feed -> pad chain), so the
 artifact can never drift from what the framework's feeder produces.
-Classification pipelines only — caption decode serves via tools/infer
-(its greedy feedback loop needs the vocabulary on the host side).
+Captioning pipelines export the on-device greedy/beam decode (the
+embedding matrix is baked in as a constant): the artifact returns
+(B, T) int32 word indices and records the vocabulary in ``meta.json``
+— ``ServingModule.captions(...)`` maps them to trimmed strings.
 
 Artifact format ``.vlx``: a zip holding ``forward.bin`` (the serialized
 jax.export Exported) and ``meta.json`` (positional input names, shapes,
@@ -153,10 +155,7 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
             build_serving_context(config_file, media, checkpoint,
                                   fpc, cpv, workdir,
                                   batch_size=batch_items, int8=int8)
-        if model.caption_dataset is not None:
-            error("AOT export supports classification serving; caption "
-                  "decode needs host-side vocabulary — serve captioners "
-                  "via tools/infer")
+        is_caption = model.caption_dataset is not None
 
         # one REAL batch through the production chain fixes the
         # exported signature (shapes, dtypes, key order)
@@ -167,7 +166,12 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
         feed = run_task._prepare_feed(feed, batches, model)
         feed, _, _ = geometry.pad_feed(feed)
 
-        serve, names, specs = val.build_serving_fn(params, feed)
+        # captioners export the DECODE: the greedy/beam feedback search
+        # runs on-device (embedding matrix baked in); the artifact
+        # returns (B, T) int32 word indices and carries the vocabulary
+        # in meta for the host-side index->word mapping
+        serve, names, specs = val.build_serving_fn(params, feed,
+                                                   decode=is_caption)
         jit_kw = {}
         if val.mesh.size > 1:
             from video_learning_tpu.parallel import mesh as mesh_mod
@@ -208,14 +212,26 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
                 jax.jit(serve, **jit_kw),
                 platforms=plats)(*specs_b).serialize()
 
+        if is_caption:
+            dset = model.caption_dataset
+            cap_opts = settings.captioning
+            output = {
+                "kind": "token_ids",
+                "vocabulary": list(dset.vocabulary),
+                "max_caption_length": int(dset.max_caption_length),
+                "caption_search": (str(cap_opts.caption_search)
+                                   if cap_opts else "max"),
+            }
+        else:
+            output = {"kind": "logits",
+                      "num_classes": int(settings.num_classes)}
         meta = {
             "format": "vlx-1" if len(buckets) == 1 else "vlx-2",
             "inputs": [{"name": n,
                         "shape": list(map(int, specs[i].shape)),
                         "dtype": str(np.dtype(specs[i].dtype))}
                        for i, n in enumerate(names)],
-            "output": {"kind": "logits",
-                       "num_classes": int(settings.num_classes)},
+            "output": output,
             "batch_items": int(batch_items),
             "buckets": [int(b) for b in buckets],
             "frames_per_clip": int(use_fpc or 1),
@@ -337,6 +353,32 @@ class ServingModule:
         if rows is not None:
             out = out[:max(int(round(out.shape[0] * rows)), 1)]
         return out
+
+    def captions_from_ids(self, rows):
+        """Map decoded (B, T) word-index rows to trimmed strings — cut
+        at the first EOS, capped at max_caption_length (reference
+        val.py:36-46 semantics, same as data/captions.trim_at_eos)."""
+        out = self.meta["output"]
+        if out.get("kind") != "token_ids":
+            error("Not a caption artifact (output kind %r)"
+                  % out.get("kind"))
+        vocab = out["vocabulary"]
+        eos = vocab.index("EOS")
+        cap = int(out["max_caption_length"])
+        texts = []
+        for row in np.asarray(rows):
+            words = []
+            for idx in row[:cap]:
+                if int(idx) == eos:
+                    break
+                words.append(vocab[int(idx)])
+            texts.append(" ".join(words) if words else " ")
+        return texts
+
+    def captions(self, *arrays):
+        """Caption artifacts: run the on-device decode, return trimmed
+        caption strings (one per item)."""
+        return self.captions_from_ids(self(*arrays))
 
     def warmup(self):
         """Run zeros through EVERY bucket (executable load/compile is

@@ -378,7 +378,12 @@ def make_handler(batcher, idx2name):
                 return self._send(200, buf.getvalue(),
                                   "application/x-npz")
             doc = {"outputs": np.asarray(out).tolist()}
-            if topk:
+            if module.meta["output"].get("kind") == "token_ids":
+                # caption artifact: decode rows to trimmed strings via
+                # the vocabulary the exporter baked into meta
+                doc["captions"] = module.captions_from_ids(out)
+            if topk and module.meta["output"].get("kind",
+                                                  "logits") == "logits":
                 probs = _softmax(out)
                 k = min(topk, probs.shape[-1])
                 order = np.argsort(-probs, axis=-1)[:, :k]

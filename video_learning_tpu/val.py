@@ -163,7 +163,7 @@ class Validation:
             self._q_src_leaf0 = leaf0
         return self._q_params
 
-    def build_serving_fn(self, params, sample_feed):
+    def build_serving_fn(self, params, sample_feed, decode=False):
         """The bare serving computation for AOT export
         (tools/export_serving): exactly the val forward — fused device
         preprocessing + model.apply(train=False) with the optional int8
@@ -171,11 +171,17 @@ class Validation:
         OVER so the exported artifact is self-contained, and with the
         visual feed arrays as a flat positional signature.
 
+        ``decode=True`` exports the caption decode instead: the batched
+        greedy/beam feedback search (embedding matrix baked in as a
+        constant) returning (B, T) int32 word indices — index->word
+        mapping is the only host-side step, via the vocabulary the
+        exporter records in the artifact meta.
+
         ``sample_feed`` provides the static shapes/dtypes (pass a real,
         geometry-padded feed so the exported signature matches what the
         production feeder produces).  Returns (serve_fn, names, specs):
-        serve_fn(*arrays) -> logits, names[i] the feed key of positional
-        input i, specs[i] its jax.ShapeDtypeStruct."""
+        serve_fn(*arrays) -> logits (or word indices), names[i] the feed
+        key of positional input i, specs[i] its jax.ShapeDtypeStruct."""
         pre = self._preprocessors
         quantize = getattr(self.settings.val, "quantize", None)
         params = self._maybe_quantize(params)
@@ -197,7 +203,7 @@ class Validation:
                 pkey = key + "/proc_params"
                 if pkey in feed:
                     feed[key] = p(feed[key], feed.pop(pkey))
-            return model.apply(params, feed, train=False,
+            return model.apply(params, feed, train=False, decode=decode,
                                quantize=quantize)
 
         specs = [jax.ShapeDtypeStruct(tuple(sample_feed[n].shape),
