@@ -130,3 +130,38 @@ def test_validation_forward_dp_tp_matches_single():
     assert single.shape == sharded.shape
     assert np.allclose(single, sharded, atol=2e-4), \
         np.abs(single - sharded).max()
+
+
+def test_accum_steps_dp_tp_matches_unaccumulated():
+    """Gradient accumulation under dp x tp sharding: accum_steps=2 on a
+    {data:2, model:2} mesh reproduces the unaccumulated step's loss and
+    parameters (the scan over micro-batches must compose with GSPMD)."""
+    import __graft_entry__ as graft
+    from video_learning_tpu.train import Train
+
+    def run(accum):
+        settings, model = graft._flagship()
+        settings.compute_dtype = "float32"
+        settings.mesh_shape = {"data": 2, "model": 2}
+        settings.train.batch_size = 4
+        settings.train.accum_steps = accum
+        # accumulation folds a distinct dropout rng per micro-batch;
+        # disable dropout so the comparison is exact
+        settings.train.dropout_keep_prob = 1.0
+        engine = Train(settings, settings.feeder, model, seed=0)
+        engine.place_params()
+        n = 4 * 4
+        rng = np.random.RandomState(0)
+        feed = {"frames_main_input":
+                rng.randn(n, 67, 67, 3).astype(np.float32),
+                "labels": np.eye(16, dtype=np.int32)[np.arange(4) % 16]}
+        metrics = engine.run_step(feed)
+        return metrics, jax.tree_util.tree_map(np.asarray, engine.params)
+
+    m1, p1 = run(1)
+    m2, p2 = run(2)
+    assert m1["loss"] == pytest.approx(m2["loss"], rel=1e-4)
+    assert m1["accuracy"] == m2["accuracy"]
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        assert np.allclose(a, b, atol=5e-4), np.abs(a - b).max()

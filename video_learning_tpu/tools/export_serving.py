@@ -195,6 +195,7 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
 
         # smaller buckets: the SAME forward at scaled leading dims (all
         # feed rows are proportional to the item count)
+        data_par = int(val.mesh.shape["data"]) if val.mesh.size > 1 else 1
         bucket_blobs = {}
         for b in buckets[:-1]:
             specs_b = []
@@ -205,9 +206,14 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
                           "batch item count (%d); bucketed export needs "
                           "uniform per-item geometry"
                           % (rows, batch_items))
+                rows_b = rows // batch_items * b
+                if rows_b % data_par:
+                    error("Bucket %d gives %d input rows, not divisible "
+                          "by the mesh data axis (%d); choose bucket "
+                          "sizes that shard evenly" % (b, rows_b,
+                                                       data_par))
                 specs_b.append(jax.ShapeDtypeStruct(
-                    (rows // batch_items * b,) + tuple(s.shape[1:]),
-                    s.dtype))
+                    (rows_b,) + tuple(s.shape[1:]), s.dtype))
             bucket_blobs[b] = jax_export.export(
                 jax.jit(serve, **jit_kw),
                 platforms=plats)(*specs_b).serialize()
