@@ -321,3 +321,30 @@ def test_sigterm_drains_server(tmp_path):
         exp_mod.load = orig_load
         if main.is_alive():
             started.httpd.shutdown()
+
+
+def test_request_timeout_returns_503():
+    """--request-timeout-s: a wedged device call answers 503 instead of
+    hanging the client (the environment's own tunnel-stall story)."""
+    from video_learning_tpu.tools.serve import Batcher
+
+    block = threading.Event()
+
+    class SlowModule:
+        meta = {"batch_items": 2,
+                "inputs": [{"name": "x", "shape": [2, 4],
+                            "dtype": "float32"}]}
+        calls = [0]
+
+        def __call__(self, *arrays):
+            self.calls[0] += 1
+            if self.calls[0] > 1:       # warm-up call passes through
+                block.wait(10.0)
+            return np.zeros((arrays[0].shape[0], 3), np.float32)
+
+    b = Batcher(SlowModule(), window_s=0.001, request_timeout_s=0.2)
+    try:
+        with pytest.raises(TimeoutError, match="timed out"):
+            b.run([np.zeros((1, 4), np.float32)])
+    finally:
+        block.set()                     # release the worker thread

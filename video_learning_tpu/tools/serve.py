@@ -7,7 +7,8 @@ artifacts — this server is the final tier, putting an exported artifact
 behind a network endpoint with TPU-shaped request coalescing):
 
   python -m video_learning_tpu.tools.serve model.vlx --port 8000 \
-      [--classes map.txt] [--window-ms 3] [--no-batch]
+      [--classes map.txt] [--window-ms 3] [--no-batch] \
+      [--request-timeout-s 30]
 
 The exported forward has a STATIC batch (XLA static shapes — the right
 trade on TPU: one compiled program, MXU-sized batches).  Production
@@ -123,10 +124,17 @@ class Batcher:
     long the first request of a batch waits for company.
     """
 
-    def __init__(self, module, window_s=0.003, coalesce=True, stats=None):
+    def __init__(self, module, window_s=0.003, coalesce=True, stats=None,
+                 request_timeout_s=None):
         self.module = module
         self.stats = stats or Stats()
         self.window_s = float(window_s)
+        # deadline for a coalesced request to get its result back; a
+        # wedged accelerator then answers 503 instead of hanging every
+        # client (the worker thread may still be stuck inside the device
+        # RPC — results completing after the deadline are discarded)
+        self.request_timeout_s = (float(request_timeout_s)
+                                  if request_timeout_s else None)
         meta = module.meta
         self.capacity = int(meta["batch_items"])
         ins = meta["inputs"]
@@ -204,7 +212,10 @@ class Batcher:
                 return out
         p = _Pending(arrays, k)
         self._q.put(p)
-        p.event.wait()
+        if not p.event.wait(timeout=self.request_timeout_s):
+            raise TimeoutError(
+                "request timed out after %.1fs waiting for the device"
+                % self.request_timeout_s)
         if p.err is not None:
             raise p.err
         return p.result
@@ -367,6 +378,8 @@ def make_handler(batcher, idx2name):
                 out = batcher.run(arrays)
             except ValueError as e:
                 return self._fail(400, e)
+            except TimeoutError as e:   # wedged device -> retryable 503
+                return self._fail(503, e)
             except Exception as e:  # noqa: BLE001 — device faults -> 500
                 return self._fail(500, e)
             if batcher.coalesce and batcher.per_item:
@@ -399,7 +412,8 @@ def make_handler(batcher, idx2name):
 
 
 def serve(artifact, port=8000, host="127.0.0.1", classes=None,
-          window_ms=3.0, coalesce=True, started=None):
+          window_ms=3.0, coalesce=True, started=None,
+          request_timeout_s=None):
     """Blocking server loop. ``started`` (optional threading.Event) is
     set with the bound (host, port) once listening — for tests.
 
@@ -425,7 +439,8 @@ def serve(artifact, port=8000, host="127.0.0.1", classes=None,
             module.meta["batch_items"], module.meta.get("quantize"),
             module.meta.get("mesh")))
     batcher = Batcher(module, window_s=window_ms / 1000.0,
-                      coalesce=coalesce)
+                      coalesce=coalesce,
+                      request_timeout_s=request_timeout_s)
     httpd = _Server((host, port), make_handler(batcher, idx2name))
     # graceful drain on the scheduler's grace signal (main thread only;
     # shutdown() must run off-thread — it joins the serve loop we're in)
@@ -470,6 +485,11 @@ def main(argv=None):
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--classes", help="'classname index' map file "
                                           "for named top-k responses")
+    parser.add_argument("--request-timeout-s", type=float,
+                        default=None,
+                        help="deadline for a queued request; a "
+                             "wedged device answers 503 instead "
+                             "of hanging clients")
     parser.add_argument("--window-ms", type=float, default=3.0,
                         help="micro-batch coalescing window")
     parser.add_argument("--no-batch", action="store_true",
@@ -480,7 +500,8 @@ def main(argv=None):
         error("Not a .vlx artifact: %s" % args.artifact)
     serve(args.artifact, port=args.port, host=args.host,
           classes=args.classes, window_ms=args.window_ms,
-          coalesce=not args.no_batch)
+          coalesce=not args.no_batch,
+          request_timeout_s=args.request_timeout_s)
 
 
 if __name__ == "__main__":
