@@ -383,9 +383,10 @@ def run_latency(args):
     is the TPU compute cost per call; network/dispatch latency is
     deployment-specific (and tunnel-dominated in this environment)."""
     force_cpu = args.cpu
+    cpu_fallback = False
     if not force_cpu and not _probe_accelerator():
         sys.stderr.write("Accelerator unresponsive; latency on CPU\n")
-        force_cpu = True
+        force_cpu = cpu_fallback = True
     import jax
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -439,6 +440,8 @@ def run_latency(args):
     metric = "serving_forward_ms_per_call_bucket1_fpc%d" % fpc
     if args.int8:
         metric += "_int8"
+    if cpu_fallback:
+        metric += "_CPUFALLBACK_tpu_unreachable"
     result = {
         "metric": metric,
         "value": per_bucket[buckets[0]],

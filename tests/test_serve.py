@@ -346,5 +346,27 @@ def test_request_timeout_returns_503():
     try:
         with pytest.raises(TimeoutError, match="timed out"):
             b.run([np.zeros((1, 4), np.float32)])
+        # pile more requests behind the wedged call; they also time out
+        # and must NOT be replayed once the device recovers
+        results = []
+
+        def req():
+            try:
+                b.run([np.zeros((1, 4), np.float32)])
+                results.append("ok")
+            except TimeoutError:
+                results.append("timeout")
+        stale = [threading.Thread(target=req) for _ in range(2)]
+        for t in stale:
+            t.start()
+        for t in stale:
+            t.join()
+        assert results == ["timeout", "timeout"]
     finally:
         block.set()                     # release the worker thread
+    calls_after_recovery = SlowModule.calls[0]
+    fresh = b.run([np.zeros((1, 4), np.float32)])
+    assert fresh.shape == (1, 3)
+    # warm-up + wedged call + this fresh one; the two abandoned queue
+    # entries were skipped, not replayed as device calls
+    assert SlowModule.calls[0] == calls_after_recovery + 1

@@ -146,6 +146,8 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
         buckets = sorted(set(int(b) for b in batch_items)) \
             if isinstance(batch_items, (list, tuple)) else \
             [int(batch_items or 8)]
+        if not buckets:
+            error("batch_items needs at least one batch size")
         if buckets[0] < 1:
             error("batch sizes must be >= 1 (got %s)" % buckets)
         batch_items = buckets[-1]
@@ -361,23 +363,21 @@ class ServingModule:
         return out
 
     def captions_from_ids(self, rows):
-        """Map decoded (B, T) word-index rows to trimmed strings — cut
-        at the first EOS, capped at max_caption_length (reference
-        val.py:36-46 semantics, same as data/captions.trim_at_eos)."""
+        """Map decoded (B, T) word-index rows to trimmed strings via the
+        framework's own EOS-trim + join conventions (data/captions
+        trim_at_eos / validation_logits_to_captions — reference
+        val.py:36-46), so artifact captions can never drift from
+        tools/infer's."""
+        from video_learning_tpu.data.captions import trim_at_eos
         out = self.meta["output"]
         if out.get("kind") != "token_ids":
             error("Not a caption artifact (output kind %r)"
                   % out.get("kind"))
         vocab = out["vocabulary"]
-        eos = vocab.index("EOS")
         cap = int(out["max_caption_length"])
         texts = []
         for row in np.asarray(rows):
-            words = []
-            for idx in row[:cap]:
-                if int(idx) == eos:
-                    break
-                words.append(vocab[int(idx)])
+            words = [vocab[i] for i in trim_at_eos(row, vocab, cap)]
             texts.append(" ".join(words) if words else " ")
         return texts
 

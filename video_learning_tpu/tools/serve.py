@@ -106,7 +106,8 @@ class Stats:
 
 
 class _Pending:
-    __slots__ = ("arrays", "items", "event", "result", "err")
+    __slots__ = ("arrays", "items", "event", "result", "err",
+                 "abandoned")
 
     def __init__(self, arrays, items):
         self.arrays = arrays
@@ -114,6 +115,7 @@ class _Pending:
         self.event = threading.Event()
         self.result = None
         self.err = None
+        self.abandoned = False     # waiter gave up (request timeout)
 
 
 class Batcher:
@@ -204,15 +206,29 @@ class Batcher:
         output rows belonging to this request."""
         k = self.items_of(arrays)
         if not self.coalesce:
-            with self._lock:
+            # the deadline also covers waiting on the serialization lock
+            # (a wedged call holds it); the thread already inside the
+            # device RPC itself cannot be interrupted
+            if not self._lock.acquire(
+                    timeout=self.request_timeout_s or -1):
+                raise TimeoutError(
+                    "request timed out after %.1fs waiting for the "
+                    "device" % self.request_timeout_s)
+            try:
                 out = self.module(*arrays)
                 self.stats.device_call(
                     getattr(self.module, "last_bucket", None)
                     or self.capacity, 1)
                 return out
+            finally:
+                self._lock.release()
         p = _Pending(arrays, k)
         self._q.put(p)
         if not p.event.wait(timeout=self.request_timeout_s):
+            # leave a tombstone: the worker skips abandoned entries so a
+            # recovered device doesn't replay the timed-out backlog
+            # ahead of live traffic
+            p.abandoned = True
             raise TimeoutError(
                 "request timed out after %.1fs waiting for the device"
                 % self.request_timeout_s)
@@ -224,6 +240,8 @@ class Batcher:
     def _worker(self):
         while True:
             first = self._q.get()
+            if first.abandoned:
+                continue
             batch = [first]
             total = first.items
             t_end = time.monotonic() + self.window_s
@@ -235,6 +253,8 @@ class Batcher:
                     nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if nxt.abandoned:
+                    continue
                 if total + nxt.items > self.capacity:
                     # would overflow: run it in the next batch
                     self._q.put(nxt)
@@ -297,6 +317,10 @@ def make_handler(batcher, idx2name):
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # socket timeout: idle keep-alive connections close after this,
+        # so the graceful drain (non-daemon threads + block_on_close)
+        # can't hang forever on a client that holds its connection open
+        timeout = 5
 
         def log_message(self, fmt, *args):  # route through CustomLogger
             info("serve: %s" % (fmt % args))
@@ -382,7 +406,10 @@ def make_handler(batcher, idx2name):
                 return self._fail(503, e)
             except Exception as e:  # noqa: BLE001 — device faults -> 500
                 return self._fail(500, e)
-            if batcher.coalesce and batcher.per_item:
+            if len(batcher.per_item) == len(ins):
+                # per-item rows are known whether or not coalescing is
+                # active — the items counter must not read 0 under
+                # --no-batch
                 self._predict_items = \
                     arrays[0].shape[0] // batcher.per_item[0]
             if "format=npz" in query:

@@ -197,15 +197,6 @@ def softmax_cross_entropy(logits, onehot_labels, mask=None):
     return jnp.sum(per_row * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def accuracy_metric(logits, onehot_labels, mask=None):
-    correct = (jnp.argmax(logits, axis=1) ==
-               jnp.argmax(onehot_labels, axis=1)).astype(jnp.float32)
-    if mask is None:
-        return jnp.mean(correct)
-    mask = mask.astype(jnp.float32)
-    return jnp.sum(correct * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-
-
 # ----------------------------------------------------------------- engine
 class Train:
     """Owns optimizer state + the jitted SPMD train step."""
