@@ -483,3 +483,34 @@ def test_serve_captioner_http(caption_fixture, tmp_path):  # noqa: F811
                 assert w in vocab
     finally:
         started.httpd.shutdown()
+
+
+def test_export_serving_bucketed_multidevice(trained_video_run, tmp_path):
+    """Buckets + --mesh compose: every bucket's executable carries the
+    GSPMD partitioning and small-bucket calls still match the
+    single-device artifact."""
+    from video_learning_tpu.tools import export_serving as exp_mod
+
+    _, cfg, vids = trained_video_run
+    plain = tmp_path / "p.vlx"
+    exp_mod.main([str(cfg), "--out", str(plain),
+                  "--batch-items", "1,2", "--platforms", "cpu"])
+    sharded = tmp_path / "s.vlx"
+    meta = exp_mod.main([str(cfg), "--out", str(sharded),
+                         "--batch-items", "1,2", "--platforms", "cpu",
+                         "--mesh", "data=4"])
+    assert meta["buckets"] == [1, 2]
+    assert meta["mesh"] == {"data": 4, "model": 1}
+
+    s1 = exp_mod.load(str(plain))
+    s4 = exp_mod.load(str(sharded))
+    rng = np.random.RandomState(5)
+    full = [rng.randint(0, 200, i["shape"]).astype(i["dtype"])
+            for i in s1.meta["inputs"]]
+    per_item = [int(i["shape"][0]) // 2 for i in s1.meta["inputs"]]
+    one = [a[:p] for a, p in zip(full, per_item)]
+    a1, a4 = s1(*one), s4(*one)
+    assert s1.last_bucket == 1 and s4.last_bucket == 1
+    np.testing.assert_allclose(a4, a1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s4(*full), s1(*full),
+                               rtol=1e-5, atol=1e-5)
