@@ -407,3 +407,50 @@ def test_compile_cache_persists_executables(packed_tree):
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def test_inline_eval_every_epochs(packed_tree):
+    """train: eval_every_epochs: 1 runs the val phase on the live params
+    after each epoch — accuracy lands in the metrics stream, no logits
+    chunk files are persisted, and training still checkpoints/resumes."""
+    from video_learning_tpu import run_task
+    import shutil
+    tmp_path, tree = packed_tree
+    cfg, _ = _run_config(tmp_path, tree, "train", epochs=2)
+    docs = yaml.safe_load(cfg.read_text())
+    folder = tmp_path / "inline_eval_run"
+    if folder.exists():
+        shutil.rmtree(folder)
+    docs["run"]["run_folder"] = str(folder)
+    docs["run"]["train"]["eval_every_epochs"] = 1
+    # a val-phase dataset over the same packed records
+    docs["run"]["data"]["tinyvid_val"] = dict(
+        docs["run"]["data"]["tinyvid"], phase="defs.phase.val")
+    p = tmp_path / "inline_eval.yml"
+    p.write_text(yaml.safe_dump(docs))
+    run_task.main(str(p))
+
+    tb = folder / "tb" / "train"
+    lines = [json.loads(l) for l in open(list(tb.glob("metrics_*.jsonl"))[0])]
+    evals = [l for l in lines if "val_accuracy" in l]
+    assert len(evals) == 2   # one per epoch
+    assert all(0.0 <= l["val_accuracy"] <= 1.0 for l in evals)
+    # the inline evals keep logits in memory — chunk artifacts belong to
+    # the standalone val phase only
+    assert not [f for f in os.listdir(folder)
+                if f.startswith("validation_logits_")]
+    # training artifacts are unaffected
+    assert list((folder / "checkpoints").glob("*.ckpt"))
+
+
+def test_inline_eval_requires_val_block(packed_tree):
+    from video_learning_tpu.config import Settings
+    tmp_path, tree = packed_tree
+    cfg, _ = _run_config(tmp_path, tree, "train", epochs=1)
+    docs = yaml.safe_load(cfg.read_text())
+    docs["run"]["train"]["eval_every_epochs"] = 1
+    del docs["run"]["val"]
+    p = tmp_path / "inline_noval.yml"
+    p.write_text(yaml.safe_dump(docs))
+    with pytest.raises(Exception, match="val"):
+        Settings().initialize(str(p))

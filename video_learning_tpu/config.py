@@ -59,6 +59,7 @@ class TrainOpts:
     dropout_keep_prob = 0.5
     batch_item = defs.batch_item.default
     accum_steps = 1                 # micro-batches per optimizer step
+    eval_every_epochs = 0           # inline validation cadence (0 = off)
 
 
 class ValOpts:
@@ -112,6 +113,7 @@ class Settings:
         self.mesh_shape = None          # e.g. {"data": 4, "model": 2}
         self.compute_dtype = "bfloat16"
         self.remat = False              # rematerialize the frame encoder
+        self._inline_eval = False       # train-phase eval_every_epochs
         self._pipeline_field_cache = []
 
     # ------------------------------------------------------------- helpers
@@ -363,25 +365,30 @@ class Settings:
                     error("accum_steps (%d) must divide batch_size (%d): "
                           "the batch is split into equal on-device "
                           "micro-batches" % (tr.accum_steps, tr.batch_size))
+                tr.eval_every_epochs = int(obj.get("eval_every_epochs",
+                                                   0) or 0)
                 self.train = tr
             if phase == defs.phase.val:
-                va = ValOpts()
-                va.batch_size = int(obj["batch_size"])
-                lsi = obj.get("logits_save_interval")
-                va.logits_save_interval = (None if lsi in (None, "None")
-                                           else int(lsi))
-                clip_fusion = parse_seq(obj.get("clip_fusion"))
-                if clip_fusion is not None:
-                    va.clip_fusion_type = defs.check(clip_fusion[0],
-                                                     defs.fusion_type)
-                    va.clip_fusion_method = defs.check(clip_fusion[1],
-                                                       defs.fusion_method)
-                quant = obj.get("quantize")
-                if quant not in (None, "None", "int8"):
-                    error("val quantize must be 'int8' (w8a8 serving "
-                          "forward), got %r" % quant)
-                va.quantize = None if quant in (None, "None") else quant
-                self.val = va
+                self.val = self._read_val_opts(obj)
+
+        # inline validation during training (TPU-native addition; the
+        # reference rejects simultaneous train+val phases and evaluates
+        # checkpoints in separate processes): eval_every_epochs runs the
+        # val phase on the LIVE params every N training epochs, so it
+        # needs the val: block and the val-phase datasets registered
+        self._inline_eval = bool(self.train and
+                                 self.train.eval_every_epochs > 0)
+        if self._inline_eval:
+            if defs.phase.val in self.phases:
+                error("eval_every_epochs runs validation inline; use "
+                      "phase: defs.phase.train (not both phases)")
+            if "val" not in config:
+                error("eval_every_epochs needs a val: options block")
+            if "captioning" in config:
+                error("eval_every_epochs supports classification runs; "
+                      "evaluate captioners with "
+                      "tools/evaluate_multiple_checkpoints")
+            self.val = self._read_val_opts(config["val"])
 
         # captioning options (config.example.yml:93-97)
         if "captioning" in config:
@@ -403,9 +410,14 @@ class Settings:
                       % co.length_norm)
             self.captioning = co
 
-        # datasets -> feeder (settings_.py:302-366)
+        # datasets -> feeder (settings_.py:302-366).  Inline eval keeps
+        # the RUN phase train but registers + plans the val-phase
+        # datasets too.
+        feed_phases = list(self.phases)
+        if self._inline_eval:
+            feed_phases.append(defs.phase.val)
         from video_learning_tpu.data.feeder import Feeder
-        self.feeder = Feeder(defs.input_mode.video, self.phases,
+        self.feeder = Feeder(defs.input_mode.video, feed_phases,
                              (self.train, self.val),
                              self.save_freq_per_epoch, self.run_folder,
                              self.should_resume())
@@ -413,7 +425,7 @@ class Settings:
         self.feeder.checkpoint_async = self.checkpoint_async
         for dataid, dataobj in config.get("data", {}).items():
             dataset_phase = defs.check(dataobj["phase"], defs.phase)
-            if dataset_phase not in self.phases:
+            if dataset_phase not in feed_phases:
                 info("Omitting dataset [%s] due to its phase [%s]"
                      % (dataid, dataset_phase))
                 continue
@@ -486,6 +498,28 @@ class Settings:
             if "device_preprocess" in dataobj:
                 dset.device_preprocess = bool(dataobj["device_preprocess"])
 
+    @staticmethod
+    def _read_val_opts(obj):
+        """Parse a ``val:`` options block (shared by the val phase and
+        the train phase's inline eval_every_epochs)."""
+        va = ValOpts()
+        va.batch_size = int(obj["batch_size"])
+        lsi = obj.get("logits_save_interval")
+        va.logits_save_interval = (None if lsi in (None, "None")
+                                   else int(lsi))
+        clip_fusion = parse_seq(obj.get("clip_fusion"))
+        if clip_fusion is not None:
+            va.clip_fusion_type = defs.check(clip_fusion[0],
+                                             defs.fusion_type)
+            va.clip_fusion_method = defs.check(clip_fusion[1],
+                                               defs.fusion_method)
+        quant = obj.get("quantize")
+        if quant not in (None, "None", "int8"):
+            error("val quantize must be 'int8' (w8a8 serving "
+                  "forward), got %r" % quant)
+        va.quantize = None if quant in (None, "None") else quant
+        return va
+
     # ------------------------------------------------------- orchestration
     def configure_logging(self):
         self.timestamp = get_datetime_str()
@@ -548,7 +582,7 @@ class Settings:
             shutil.copyfile(init_file, os.path.join(
                 self.run_folder, os.path.basename(init_file)))
 
-        if self.train and self.val:
+        if self.train and self.val and not self._inline_eval:
             error("Cannot specify simultaneous training and validation run.")
         if not (self.train or self.val):
             error("Neither training nor validation is enabled.")
@@ -564,12 +598,12 @@ class Settings:
                 info("Resuming training.")
                 self.train.epoch_index, self.global_step = \
                     self.feeder.resume_snap(self.resume_file)
-            if self.val:
+            elif self.val:
                 info("Evaluating trained network.")
         else:
             if self.train:
                 info("Starting training from scratch.")
-            if self.val:
+            elif self.val:
                 warning("Starting validation-only run with an untrained "
                         "network.")
         info("Starting run on folder [%s]." % self.run_folder)

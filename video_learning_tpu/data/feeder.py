@@ -287,9 +287,11 @@ class Feeder:
         if not os.path.exists(ckpt):
             error("Checkpoint does not exist: %s" % ckpt)
         ignorables = list(ignorable_variable_names or [])
-        if self.val:
+        if self.val and not self.train:
             # evaluation needs params only (reference feeder.py:226-227
-            # ignores global_step; optimizer slots likewise)
+            # ignores global_step; optimizer slots likewise).  A training
+            # run that also carries val options (inline eval_every_epochs)
+            # must still restore its optimizer state and step.
             ignorables.append(defs.names.global_step)
             ignorables.append("opt_state_leaves")
         return ckpt_mod.restore_checkpoint(ckpt, state, ignorables)

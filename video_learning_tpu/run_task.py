@@ -34,8 +34,9 @@ def print_iter_info(settings, feeder, num_data, num_labels, padding,
     if batch_index is None:
         batch_index = dataset.batch_index
     padinfo = " (%d padding)" % padding if padding > 0 else ""
-    epoch_str = "" if settings.val else "epoch: %2d/%2d," % (
-        settings.train.epoch_index + 1, settings.train.epochs)
+    epoch_str = "" if settings.phase == defs.phase.val else \
+        "epoch: %2d/%2d," % (settings.train.epoch_index + 1,
+                             settings.train.epochs)
     info("Mode: [%s], %s batch %4d / %4d : %s data%s, %s labels"
          % (settings.phase, epoch_str, batch_index,
             len(dataset.batches), str(num_data), padinfo, str(num_labels)))
@@ -87,6 +88,48 @@ def _install_preempt_handler():
     return flag, restore
 
 
+def _make_inline_validation(settings, feeder, model):
+    """Build the Validation for train-phase inline eval
+    (``eval_every_epochs``, a TPU-native addition — the reference rejects
+    simultaneous train+val and re-runs run_task per checkpoint).  Logits
+    stay in memory (no chunk files: the standalone val phase owns those
+    artifacts) and the forward is compiled once and reused every eval.
+    Built with the feeder on the VAL phase so device-preprocessor specs
+    come from the val datasets."""
+    from video_learning_tpu.val import Validation
+    old_interval = settings.val.logits_save_interval
+    settings.val.logits_save_interval = None
+    feeder.set_phase(defs.phase.val)
+    try:
+        return Validation(settings, model)
+    finally:
+        feeder.set_phase(defs.phase.train)
+        settings.val.logits_save_interval = old_interval
+
+
+def run_inline_eval(settings, val, params, feeder, model):
+    """One full pass over the val datasets with the LIVE training params;
+    returns accuracy.  The train-phase feeder position is untouched (val
+    datasets are separate objects; the phase flips back in all cases)."""
+    from video_learning_tpu.batching import BatchGeometry
+    val.reset_accumulation()
+    feeder.set_phase(defs.phase.val)
+    try:
+        feeder.rewind_datasets(next_epoch=False)
+        geometry = BatchGeometry()
+        while feeder.loop():
+            feed, batches = feeder.get_feed(model.required_input)
+            feed = _prepare_feed(feed, batches, model)
+            feed, _, padding = geometry.pad_feed(feed)
+            logits = val.run_forward(params, feed)
+            val.process_validation_logits(
+                defs.dataset_tag.main, settings, logits, feed["labels"],
+                padding)
+        return val.get_accuracy()
+    finally:
+        feeder.set_phase(defs.phase.train)
+
+
 def do_train(settings, engine, feeder, model, writer):
     """Epoch/batch training loop (reference run_task.py:25-81) with a
     background prefetcher overlapping host decode and device compute."""
@@ -94,6 +137,8 @@ def do_train(settings, engine, feeder, model, writer):
     required_input = model.required_input
     run_batch_count = 0
     min_train_loss = (1e9, -1)
+    eval_every = int(getattr(settings.train, "eval_every_epochs", 0) or 0)
+    inline_val = None
     preempt, restore_handler = _install_preempt_handler()
     preempted = False
     profiler = None
@@ -177,6 +222,15 @@ def do_train(settings, engine, feeder, model, writer):
                      % (1 + settings.train.epoch_index))
             settings.train.epoch_index += 1
             feeder.rewind_datasets()
+            if eval_every and settings.train.epoch_index % eval_every == 0:
+                if inline_val is None:
+                    inline_val = _make_inline_validation(settings, feeder,
+                                                         model)
+                acc = run_inline_eval(settings, inline_val, engine.params,
+                                      feeder, model)
+                info("Inline validation after epoch %d: accuracy %2.5f"
+                     % (settings.train.epoch_index, acc))
+                writer.write(engine.global_step, val_accuracy=acc)
         info("Minimum training loss: %2.5f at global step %d"
              % min_train_loss)
         if run_batch_count > 0 and not preempted and \

@@ -367,6 +367,16 @@ class Validation:
             return pickle.load(f)
 
     # ------------------------------------------------------------ metrics
+    def reset_accumulation(self):
+        """Clear the logits/labels accumulation so one Validation (and
+        its compiled forward) can score multiple passes — the inline
+        eval_every_epochs loop calls this between epochs."""
+        self.item_logits = np.zeros([0, self.num_classes], np.float32)
+        self.item_labels = np.zeros([0, self.num_classes], np.float32)
+        self.clip_logits = np.zeros([0, self.num_classes], np.float32)
+        self.clip_labels = np.zeros([0, self.num_classes], np.float32)
+        self.validation_logits_save_counter = 0
+
     def get_accuracy(self):
         """Mean accuracy over saved chunks + the live tail
         (val.py:174-198)."""
