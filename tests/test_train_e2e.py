@@ -454,3 +454,47 @@ def test_inline_eval_requires_val_block(packed_tree):
     p.write_text(yaml.safe_dump(docs))
     with pytest.raises(Exception, match="val"):
         Settings().initialize(str(p))
+
+
+def test_early_stopping_on_stale_val(packed_tree, monkeypatch):
+    """early_stop_patience: training stops once inline val accuracy has
+    not improved for N evals, and still writes the final checkpoint."""
+    from video_learning_tpu import run_task
+    import shutil
+    tmp_path, tree = packed_tree
+    cfg, _ = _run_config(tmp_path, tree, "train", epochs=6)
+    docs = yaml.safe_load(cfg.read_text())
+    folder = tmp_path / "earlystop_run"
+    if folder.exists():
+        shutil.rmtree(folder)
+    docs["run"]["run_folder"] = str(folder)
+    docs["run"]["train"]["eval_every_epochs"] = 1
+    docs["run"]["train"]["early_stop_patience"] = 2
+    docs["run"]["data"]["tinyvid_val"] = dict(
+        docs["run"]["data"]["tinyvid"], phase="defs.phase.val")
+    p = tmp_path / "earlystop.yml"
+    p.write_text(yaml.safe_dump(docs))
+    # constant accuracy: eval 1 sets the best, evals 2 and 3 are stale
+    monkeypatch.setattr(run_task, "run_inline_eval",
+                        lambda *a, **k: 0.5)
+    run_task.main(str(p))
+
+    tb = folder / "tb" / "train"
+    lines = [json.loads(l) for l in open(list(tb.glob("metrics_*.jsonl"))[0])]
+    evals = [l for l in lines if "val_accuracy" in l]
+    steps = [l for l in lines if "loss" in l]
+    assert len(evals) == 3          # best + 2 stale -> stop
+    assert len(steps) == 6          # 3 epochs x 2 batches, not 6 epochs
+    assert list((folder / "checkpoints").glob("*.ckpt"))
+
+
+def test_early_stop_requires_inline_eval(packed_tree):
+    from video_learning_tpu.config import Settings
+    tmp_path, tree = packed_tree
+    cfg, _ = _run_config(tmp_path, tree, "train", epochs=1)
+    docs = yaml.safe_load(cfg.read_text())
+    docs["run"]["train"]["early_stop_patience"] = 2
+    p = tmp_path / "es_noeval.yml"
+    p.write_text(yaml.safe_dump(docs))
+    with pytest.raises(Exception, match="eval_every_epochs"):
+        Settings().initialize(str(p))

@@ -60,6 +60,7 @@ class TrainOpts:
     batch_item = defs.batch_item.default
     accum_steps = 1                 # micro-batches per optimizer step
     eval_every_epochs = 0           # inline validation cadence (0 = off)
+    early_stop_patience = 0         # stop after N non-improving evals
 
 
 class ValOpts:
@@ -367,6 +368,11 @@ class Settings:
                           "micro-batches" % (tr.accum_steps, tr.batch_size))
                 tr.eval_every_epochs = int(obj.get("eval_every_epochs",
                                                    0) or 0)
+                tr.early_stop_patience = int(obj.get("early_stop_patience",
+                                                     0) or 0)
+                if tr.early_stop_patience and not tr.eval_every_epochs:
+                    error("early_stop_patience needs eval_every_epochs "
+                          "(stopping is judged on inline val accuracy)")
                 self.train = tr
             if phase == defs.phase.val:
                 self.val = self._read_val_opts(obj)

@@ -138,7 +138,9 @@ def do_train(settings, engine, feeder, model, writer):
     run_batch_count = 0
     min_train_loss = (1e9, -1)
     eval_every = int(getattr(settings.train, "eval_every_epochs", 0) or 0)
+    patience = int(getattr(settings.train, "early_stop_patience", 0) or 0)
     inline_val = None
+    best_acc, stale_evals = -1.0, 0
     preempt, restore_handler = _install_preempt_handler()
     preempted = False
     profiler = None
@@ -231,6 +233,15 @@ def do_train(settings, engine, feeder, model, writer):
                 info("Inline validation after epoch %d: accuracy %2.5f"
                      % (settings.train.epoch_index, acc))
                 writer.write(engine.global_step, val_accuracy=acc)
+                if acc > best_acc:
+                    best_acc, stale_evals = acc, 0
+                elif patience:
+                    stale_evals += 1
+                    if stale_evals >= patience:
+                        info("Early stop: val accuracy has not improved "
+                             "over %2.5f for %d evals." % (best_acc,
+                                                           stale_evals))
+                        break
         info("Minimum training loss: %2.5f at global step %d"
              % min_train_loss)
         if run_batch_count > 0 and not preempted and \
