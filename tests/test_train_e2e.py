@@ -498,3 +498,45 @@ def test_early_stop_requires_inline_eval(packed_tree):
     p.write_text(yaml.safe_dump(docs))
     with pytest.raises(Exception, match="eval_every_epochs"):
         Settings().initialize(str(p))
+
+
+def test_eval_keep_best_checkpoint(packed_tree, monkeypatch):
+    """eval_keep_best: best.ckpt tracks the best inline val accuracy,
+    lives outside the rotation (never pruned, not what 'latest' picks),
+    and resumes via resume_file: best."""
+    from video_learning_tpu import run_task
+    from video_learning_tpu.utils import get_run_checkpoints
+    import shutil
+    tmp_path, tree = packed_tree
+    cfg, _ = _run_config(tmp_path, tree, "train", epochs=3)
+    docs = yaml.safe_load(cfg.read_text())
+    folder = tmp_path / "keepbest_run"
+    if folder.exists():
+        shutil.rmtree(folder)
+    docs["run"]["run_folder"] = str(folder)
+    docs["run"]["train"]["eval_every_epochs"] = 1
+    docs["run"]["train"]["eval_keep_best"] = True
+    docs["run"]["data"]["tinyvid_val"] = dict(
+        docs["run"]["data"]["tinyvid"], phase="defs.phase.val")
+    p = tmp_path / "keepbest.yml"
+    p.write_text(yaml.safe_dump(docs))
+    accs = iter([0.3, 0.8, 0.5])
+    monkeypatch.setattr(run_task, "run_inline_eval",
+                        lambda *a, **k: next(accs))
+    run_task.main(str(p))
+
+    best = folder / "checkpoints" / "best.ckpt"
+    assert best.exists() and (folder / "checkpoints" /
+                              "best.ckpt.snap").exists()
+    # outside the rotation: not listed, so neither pruned nor 'latest'
+    listed = get_run_checkpoints(str(folder))
+    assert str(best) not in listed and listed
+
+    # the best checkpoint resumes for evaluation
+    vcfg, vrun = _run_config(tmp_path, tree, "val", resume="best")
+    text = vcfg.read_text().replace(str(vrun), str(folder))
+    vp = tmp_path / "keepbest_val.yml"
+    vp.write_text(text)
+    run_task.main(str(vp))
+    accf = [f for f in os.listdir(folder) if f.startswith("accuracy_")]
+    assert accf

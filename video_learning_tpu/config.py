@@ -61,6 +61,7 @@ class TrainOpts:
     accum_steps = 1                 # micro-batches per optimizer step
     eval_every_epochs = 0           # inline validation cadence (0 = off)
     early_stop_patience = 0         # stop after N non-improving evals
+    eval_keep_best = False          # keep best.ckpt at the best val acc
 
 
 class ValOpts:
@@ -373,6 +374,10 @@ class Settings:
                 if tr.early_stop_patience and not tr.eval_every_epochs:
                     error("early_stop_patience needs eval_every_epochs "
                           "(stopping is judged on inline val accuracy)")
+                tr.eval_keep_best = bool(obj.get("eval_keep_best", False))
+                if tr.eval_keep_best and not tr.eval_every_epochs:
+                    error("eval_keep_best needs eval_every_epochs (best "
+                          "is judged on inline val accuracy)")
                 self.train = tr
             if phase == defs.phase.val:
                 self.val = self._read_val_opts(obj)

@@ -152,6 +152,14 @@ class Feeder:
         whose ``.snap`` sidecar is missing (a save interrupted between
         the atomic param write and the sidecar write) are skipped with a
         warning instead of bricking every subsequent resume."""
+        if resume_file == "best":
+            best = os.path.join(self.run_folder, "checkpoints",
+                                "best.ckpt")
+            if not os.path.exists(best):
+                error("resume_file: best, but no best.ckpt in %s "
+                      "(written by train: eval_keep_best)"
+                      % os.path.dirname(best))
+            return best
         if resume_file == defs.names.latest_savefile:
             ckpts = get_run_checkpoints(self.run_folder)
             if not ckpts:
@@ -198,11 +206,14 @@ class Feeder:
              % (epoch + 1, str(batch_info), global_step))
         return epoch, global_step
 
-    def save(self, state, progress, global_step, batch_index=None):
+    def save(self, state, progress, global_step, batch_index=None,
+             fixed_name=None):
         """Save a parameter checkpoint + ``.snap`` position sidecar
         (reference feeder.py:263-288).  ``state`` is the TrainState pytree
         handled by checkpoint.py.  ``batch_index`` overrides the feeder's
-        live cursor (needed when batches are prefetched ahead)."""
+        live cursor (needed when batches are prefetched ahead).
+        ``fixed_name`` writes/overwrites ``<name>.ckpt`` instead of a
+        timestamped rotation slot (eval_keep_best's best.ckpt)."""
         from video_learning_tpu import checkpoint as ckpt_mod
         # multi-controller runs share the run folder; params are global
         # (replicated/GSPMD) and every host reaches should_save at the
@@ -214,8 +225,9 @@ class Feeder:
             return None
         folder = os.path.join(self.run_folder, "checkpoints")
         os.makedirs(folder, exist_ok=True)
-        base = os.path.join(folder,
-                            "%s_%s.ckpt" % (get_datetime_str(), progress))
+        base = os.path.join(
+            folder, "%s.ckpt" % fixed_name if fixed_name else
+            "%s_%s.ckpt" % (get_datetime_str(), progress))
         info("Saving checkpoint to [%s]" % base)
         if batch_index is None:
             batch_index = self.get_batch_index()
@@ -228,6 +240,11 @@ class Feeder:
 
         def write():
             if backend == "orbax":
+                if fixed_name and os.path.exists(base):
+                    # orbax checkpoints are directories; overwriting a
+                    # fixed-name slot needs the old one cleared (the npz
+                    # backend overwrites atomically via os.replace)
+                    ckpt_mod.delete_checkpoint(base)
                 ckpt_mod.save_checkpoint_orbax(base, state)
             else:
                 ckpt_mod.save_checkpoint(base, state)

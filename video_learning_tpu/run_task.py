@@ -235,6 +235,12 @@ def do_train(settings, engine, feeder, model, writer):
                 writer.write(engine.global_step, val_accuracy=acc)
                 if acc > best_acc:
                     best_acc, stale_evals = acc, 0
+                    if getattr(settings.train, "eval_keep_best", False):
+                        # position = start of the next epoch (the feeder
+                        # just rewound); resume with resume_file: best
+                        feeder.save(engine.state_dict(), "best",
+                                    engine.global_step, batch_index=0,
+                                    fixed_name="best")
                 elif patience:
                     stale_evals += 1
                     if stale_evals >= patience:

@@ -207,7 +207,11 @@ def get_run_checkpoints(run_folder):
     if not os.path.isdir(folder):
         return []
     files = [os.path.join(folder, x) for x in os.listdir(folder)
-             if x.endswith(".ckpt")]
+             if x.endswith(".ckpt") and x != "best.ckpt"]
+    # best.ckpt (eval_keep_best) lives OUTSIDE the rotation: it is
+    # neither pruned, nor what 'latest' resumes, nor re-evaluated by the
+    # multi-checkpoint tools — resume it explicitly with
+    # resume_file: best
     return sorted(files, key=os.path.getmtime)
 
 
