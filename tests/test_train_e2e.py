@@ -540,3 +540,33 @@ def test_eval_keep_best_checkpoint(packed_tree, monkeypatch):
     run_task.main(str(vp))
     accf = [f for f in os.listdir(folder) if f.startswith("accuracy_")]
     assert accf
+
+    # best/stale state persists across a resume: the resumed run's worse
+    # eval (0.4 < recorded best 0.8) must NOT overwrite best.ckpt
+    state = json.load(open(folder / "checkpoints" / "eval_state.json"))
+    assert state == {"best_acc": 0.8, "stale_evals": 1}
+    before = best.stat().st_mtime
+    docs["run"]["resume_file"] = "latest"
+    docs["run"]["train"]["epochs"] = 4
+    p2 = tmp_path / "keepbest_resume.yml"
+    p2.write_text(yaml.safe_dump(docs))
+    monkeypatch.setattr(run_task, "run_inline_eval",
+                        lambda *a, **k: 0.4)
+    run_task.main(str(p2))
+    assert best.stat().st_mtime == before, "worse eval clobbered best"
+    state = json.load(open(folder / "checkpoints" / "eval_state.json"))
+    assert state == {"best_acc": 0.8, "stale_evals": 2}
+
+
+def test_inline_eval_requires_val_dataset(packed_tree):
+    """eval_every_epochs with no val-phase dataset fails at startup, not
+    after the first trained epoch."""
+    from video_learning_tpu.config import Settings
+    tmp_path, tree = packed_tree
+    cfg, _ = _run_config(tmp_path, tree, "train", epochs=1)
+    docs = yaml.safe_load(cfg.read_text())
+    docs["run"]["train"]["eval_every_epochs"] = 1
+    p = tmp_path / "inline_nods.yml"
+    p.write_text(yaml.safe_dump(docs))
+    with pytest.raises(Exception, match="val-phase dataset"):
+        Settings().initialize(str(p))

@@ -369,6 +369,9 @@ class Settings:
                           "micro-batches" % (tr.accum_steps, tr.batch_size))
                 tr.eval_every_epochs = int(obj.get("eval_every_epochs",
                                                    0) or 0)
+                if tr.eval_every_epochs < 0:
+                    error("eval_every_epochs must be >= 0 (got %d)"
+                          % tr.eval_every_epochs)
                 tr.early_stop_patience = int(obj.get("early_stop_patience",
                                                      0) or 0)
                 if tr.early_stop_patience and not tr.eval_every_epochs:
@@ -597,6 +600,12 @@ class Settings:
             error("Cannot specify simultaneous training and validation run.")
         if not (self.train or self.val):
             error("Neither training nor validation is enabled.")
+        if self._inline_eval and not self.feeder.datasets.get(
+                defs.phase.val):
+            # fail at startup, not after the first (possibly hours-long)
+            # training epoch when the eval pass first dereferences it
+            error("eval_every_epochs needs at least one val-phase "
+                  "dataset in data: (all entries are phase train)")
 
         self.tensorboard_folder = os.path.join(
             self.run_folder, self.tensorboard_folder, self.phase)

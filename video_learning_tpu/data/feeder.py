@@ -239,6 +239,13 @@ class Feeder:
         backend = getattr(self, "checkpoint_backend", "npz")
 
         def write():
+            if fixed_name and os.path.exists(base + ".snap"):
+                # overwriting a fixed slot: drop the OLD sidecar first so
+                # a crash mid-overwrite can never pair new params with a
+                # stale position (resume then fails loudly on the missing
+                # .snap instead of silently misaligning — rotation slots
+                # are always fresh paths and don't have this window)
+                os.remove(base + ".snap")
             if backend == "orbax":
                 if fixed_name and os.path.exists(base):
                     # orbax checkpoints are directories; overwriting a

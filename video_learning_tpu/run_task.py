@@ -11,6 +11,7 @@ Usage: python -m video_learning_tpu.run_task config.yml
 """
 
 import argparse
+import json
 import math
 import os
 import time
@@ -110,7 +111,9 @@ def _make_inline_validation(settings, feeder, model):
 def run_inline_eval(settings, val, params, feeder, model):
     """One full pass over the val datasets with the LIVE training params;
     returns accuracy.  The train-phase feeder position is untouched (val
-    datasets are separate objects; the phase flips back in all cases)."""
+    datasets are separate objects; the phase flips back in all cases).
+    The loop body is do_test's own run_val_batch, so inline numbers can
+    never drift from the standalone val phase."""
     from video_learning_tpu.batching import BatchGeometry
     val.reset_accumulation()
     feeder.set_phase(defs.phase.val)
@@ -121,13 +124,44 @@ def run_inline_eval(settings, val, params, feeder, model):
             feed, batches = feeder.get_feed(model.required_input)
             feed = _prepare_feed(feed, batches, model)
             feed, _, padding = geometry.pad_feed(feed)
-            logits = val.run_forward(params, feed)
-            val.process_validation_logits(
-                defs.dataset_tag.main, settings, logits, feed["labels"],
-                padding)
+            run_val_batch(settings, val, params, model, feed, batches,
+                          padding, [])
         return val.get_accuracy()
     finally:
+        # training replaces params every step; a reused Validation must
+        # not pin this eval's full parameter copies in HBM until the
+        # next eval
+        val.release_params()
         feeder.set_phase(defs.phase.train)
+
+
+def _eval_state_path(settings):
+    return os.path.join(settings.run_folder, "checkpoints",
+                        "eval_state.json")
+
+
+def _load_eval_state(settings):
+    """(best_acc, stale_evals) for resumed runs — without this a
+    preemption resume would reset best_acc and let the next (worse)
+    eval overwrite best.ckpt, and early_stop_patience would restart."""
+    try:
+        with open(_eval_state_path(settings)) as f:
+            d = json.load(f)
+        return float(d["best_acc"]), int(d["stale_evals"])
+    except (OSError, ValueError, KeyError):
+        return -1.0, 0
+
+
+def _save_eval_state(settings, best_acc, stale_evals):
+    import jax
+    if jax.process_index() != 0:        # shared run folder: one writer
+        return
+    path = _eval_state_path(settings)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"best_acc": best_acc, "stale_evals": stale_evals}, f)
+    os.replace(tmp, path)
 
 
 def do_train(settings, engine, feeder, model, writer):
@@ -141,6 +175,8 @@ def do_train(settings, engine, feeder, model, writer):
     patience = int(getattr(settings.train, "early_stop_patience", 0) or 0)
     inline_val = None
     best_acc, stale_evals = -1.0, 0
+    if eval_every and settings.should_resume():
+        best_acc, stale_evals = _load_eval_state(settings)
     preempt, restore_handler = _install_preempt_handler()
     preempted = False
     profiler = None
@@ -158,6 +194,7 @@ def do_train(settings, engine, feeder, model, writer):
 
     try:
         for _ in range(settings.train.epoch_index, settings.train.epochs):
+            epoch_start_count = run_batch_count
             prefetcher = FeedPrefetcher(feeder, required_input, prepare)
             for feed, batches, batch_index in prefetcher:
                 num_data = [b.visual.shape[0] for b in batches.values()]
@@ -224,7 +261,11 @@ def do_train(settings, engine, feeder, model, writer):
                      % (1 + settings.train.epoch_index))
             settings.train.epoch_index += 1
             feeder.rewind_datasets()
-            if eval_every and settings.train.epoch_index % eval_every == 0:
+            if eval_every and run_batch_count > epoch_start_count and \
+                    settings.train.epoch_index % eval_every == 0:
+                # skip epochs that trained no batches (a resume landing
+                # on an already-complete epoch): the params didn't
+                # change, so re-evaluating would double-count staleness
                 if inline_val is None:
                     inline_val = _make_inline_validation(settings, feeder,
                                                          model)
@@ -241,13 +282,14 @@ def do_train(settings, engine, feeder, model, writer):
                         feeder.save(engine.state_dict(), "best",
                                     engine.global_step, batch_index=0,
                                     fixed_name="best")
-                elif patience:
+                else:
                     stale_evals += 1
-                    if stale_evals >= patience:
-                        info("Early stop: val accuracy has not improved "
-                             "over %2.5f for %d evals." % (best_acc,
-                                                           stale_evals))
-                        break
+                _save_eval_state(settings, best_acc, stale_evals)
+                if patience and stale_evals >= patience:
+                    info("Early stop: val accuracy has not improved "
+                         "over %2.5f for %d evals." % (best_acc,
+                                                       stale_evals))
+                    break
         info("Minimum training loss: %2.5f at global step %d"
              % min_train_loss)
         if run_batch_count > 0 and not preempted and \

@@ -37,11 +37,7 @@ class Validation:
         self.settings = settings
         self.model = model
         self.num_classes = settings.num_classes
-        self.item_logits = np.zeros([0, settings.num_classes], np.float32)
-        self.item_labels = np.zeros([0, settings.num_classes], np.float32)
-        self.clip_logits = np.zeros([0, settings.num_classes], np.float32)
-        self.clip_labels = np.zeros([0, settings.num_classes], np.float32)
-        self.validation_logits_save_counter = 0
+        self.reset_accumulation()
         self.validation_logits_save_interval = \
             settings.val.logits_save_interval
         self.run_folder = settings.run_folder
@@ -376,6 +372,18 @@ class Validation:
         self.clip_logits = np.zeros([0, self.num_classes], np.float32)
         self.clip_labels = np.zeros([0, self.num_classes], np.float32)
         self.validation_logits_save_counter = 0
+
+    def release_params(self):
+        """Drop the identity-cached parameter placements (sharded and
+        quantized copies).  The inline eval loop calls this after each
+        pass so a reused Validation doesn't pin stale full parameter
+        copies in device memory while training continues."""
+        self._src_params = None
+        self._src_leaf0 = None
+        self._placed_params = None
+        self._q_src_params = None
+        self._q_src_leaf0 = None
+        self._q_params = None
 
     def get_accuracy(self):
         """Mean accuracy over saved chunks + the live tail
