@@ -409,3 +409,38 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     ck.delete_checkpoint(path)
     import os
     assert not os.path.exists(path)
+
+
+def test_fixed_name_checkpoint_overwrite(tmp_path):
+    """feeder.save(fixed_name=...) overwrites one slot (best.ckpt) on
+    both backends: the new params land, the .snap is rewritten, and the
+    slot stays outside get_run_checkpoints."""
+    import json as json_mod
+
+    from video_learning_tpu import checkpoint as ck
+    from video_learning_tpu.data.feeder import Feeder
+    from video_learning_tpu.utils import get_run_checkpoints
+
+    for backend in ("npz", "orbax"):
+        folder = tmp_path / backend
+        folder.mkdir()
+        f = Feeder.__new__(Feeder)
+        f.run_folder = str(folder)
+        f.train = None
+        f.num_saves = 0
+        f.checkpoint_backend = backend
+        f.checkpoint_async = False
+        f.save({"w": np.full((3,), 1.0)}, "best", 1, batch_index=0,
+               fixed_name="best")
+        f.save({"w": np.full((3,), 2.0)}, "best", 7, batch_index=0,
+               fixed_name="best")
+        base = folder / "checkpoints" / "best.ckpt"
+        assert base.exists()
+        flat = ck.load_flat(str(base))
+        np.testing.assert_array_equal(flat["w"], np.full((3,), 2.0))
+        with open(str(base) + ".snap") as fh:
+            assert json_mod.load(fh) == [0, 0, 7]
+        # exactly one slot, and it is not in the rotation listing
+        assert [p for p in (folder / "checkpoints").iterdir()
+                if p.name.endswith(".ckpt")] == [base]
+        assert get_run_checkpoints(str(folder)) == []
