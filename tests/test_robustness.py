@@ -268,6 +268,47 @@ def test_lr_schedule_none_decay():
     assert lrs == [0.3] * 10
 
 
+def test_lr_schedule_warmup_flat():
+    from video_learning_tpu.train import precompute_learning_rates
+    s = _settings(1.0, 1, None)
+    s.train.lr_warmup = 4
+    lrs = precompute_learning_rates(s, 8)
+    assert lrs == pytest.approx([0.25, 0.5, 0.75, 1.0, 1.0, 1.0, 1.0, 1.0])
+
+
+def test_lr_schedule_warmup_on_decay():
+    """Warmup multiplies whatever the decay produced — the ramp and an
+    early staircase drop compose."""
+    from video_learning_tpu.train import precompute_learning_rates
+    s = _settings(1.0, 1, ["staircase", "interval", 2, 0.5])
+    s.train.lr_warmup = 4
+    lrs = precompute_learning_rates(s, 6)
+    # decayed schedule: [1, 1, .5, .5, .25, .25]; ramp (i+1)/4 on first 4
+    assert lrs == pytest.approx([0.25, 0.5, 0.375, 0.5, 0.25, 0.25])
+
+
+def test_lr_schedule_cosine():
+    from video_learning_tpu.train import precompute_learning_rates
+    import math
+    # 12 steps, recompute every 4 -> 3 segments: progress 0, 0.5, 1.0
+    lrs = precompute_learning_rates(
+        _settings(1.0, 1, ["cosine", "interval", 4, 0.1]), 12)
+    seg = [lrs[0], lrs[4], lrs[8]]
+    expect = [0.1 + 0.9 * 0.5 * (1 + math.cos(math.pi * p))
+              for p in (0.0, 0.5, 1.0)]
+    assert seg == pytest.approx(expect)
+    assert lrs[0] == pytest.approx(1.0) and lrs[-1] == pytest.approx(0.1)
+    assert lrs == sorted(lrs, reverse=True)  # monotone non-increasing
+
+
+def test_lr_schedule_cosine_drops():
+    from video_learning_tpu.train import precompute_learning_rates
+    lrs = precompute_learning_rates(
+        _settings(2.0, 2, ["cosine", "drops", 4, 0.0]), 10)
+    assert len(lrs) == 20 and len(set(lrs)) == 4
+    assert lrs[0] == pytest.approx(2.0) and lrs[-1] == pytest.approx(0.0)
+
+
 # ------------------------------------------------------- multi-label loss
 def test_multilabel_softmax_ce():
     from video_learning_tpu.train import softmax_cross_entropy

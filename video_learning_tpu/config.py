@@ -54,6 +54,7 @@ class TrainOpts:
     base_lr = 0.001
     lr_mult = None
     lr_decay = None
+    lr_warmup = 0                   # linear-ramp batches (0 = off)
     clip_norm = None
     clip_grads = None
     dropout_keep_prob = 0.5
@@ -352,6 +353,9 @@ class Settings:
                     if len(lr_decay) > 4:
                         parsed.append(int(lr_decay[4]))
                     tr.lr_decay = parsed
+                tr.lr_warmup = int(obj.get("lr_warmup", 0) or 0)
+                if tr.lr_warmup < 0:
+                    error("lr_warmup must be >= 0 (got %d)" % tr.lr_warmup)
                 cn = obj.get("clip_norm")
                 tr.clip_norm = (None if cn in (None, "None")
                                 else float(cn))

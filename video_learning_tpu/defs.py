@@ -56,7 +56,7 @@ class defs:
         "generation_error", ["abort", "compromise", "report"])
     batch_item = _Group("batch_item", ["default", "clip"])
     optim = _Group("optim", ["sgd", "rmsprop", "adam"])
-    decay = _Group("decay", ["exp", "staircase"])
+    decay = _Group("decay", ["exp", "staircase", "cosine"])
     periodicity = _Group("periodicity", ["interval", "drops"])
     label_type = _Group("label_type", ["single", "multiple"])
     # "max" = greedy argmax (the only reference mode); "beam" is a

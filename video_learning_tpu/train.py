@@ -65,15 +65,29 @@ def precompute_learning_rates(settings, num_batches):
     decay_params = settings.train.lr_decay
     total = num_batches * settings.train.epochs
     if decay_params is None:
-        return [base_lr] * total
+        lr_per_batch = [base_lr] * total
+        warmup = int(getattr(settings.train, "lr_warmup", 0) or 0)
+        for i in range(min(warmup, total)):
+            lr_per_batch[i] = base_lr * (i + 1) / warmup
+        return lr_per_batch
     lr_drop_offset = 0 if len(tuple(decay_params)) == 4 else decay_params[-1]
     decay_strategy, decay_scheme, decay_freq, decay_factor = \
         tuple(decay_params[:4])
 
+    cosine = False
     if decay_strategy == defs.decay.exp:
         staircase = False
     elif decay_strategy == defs.decay.staircase:
         staircase = True
+    elif decay_strategy == defs.decay.cosine:
+        # TPU-native addition (the reference enumerates exp/staircase
+        # only): half-cosine anneal from base_lr to
+        # base_lr * decay_factor over the whole run, recomputed every
+        # decay_freq batches (interval) / at each of decay_freq equally
+        # spaced drops (drops) — same piecewise-constant structure as
+        # the other strategies, so the schedule-file and device-constant
+        # machinery are unchanged
+        cosine, staircase = True, False
     else:
         error("Undefined decay strategy %s" % decay_strategy)
 
@@ -87,14 +101,30 @@ def precompute_learning_rates(settings, num_batches):
     lr_per_batch = []
     idx = 0
     while len(lr_per_batch) < total:
-        fraction = idx // decay_freq if staircase else idx / decay_freq
-        current = base_lr * pow(decay_factor, fraction)
-        idx += decay_freq
+        if cosine:
+            floor = decay_factor
+            progress = min(idx / max(total - decay_period, 1), 1.0)
+            current = base_lr * (
+                floor + (1.0 - floor) * 0.5 *
+                (1.0 + math.cos(math.pi * progress)))
+            idx += decay_period
+        else:
+            fraction = idx // decay_freq if staircase else idx / decay_freq
+            current = base_lr * pow(decay_factor, fraction)
+            idx += decay_freq
         lr_per_batch.extend(current for _ in range(decay_period))
     lr_per_batch = lr_per_batch[:total]
     if lr_drop_offset:
         lr_per_batch = [base_lr] * lr_drop_offset + \
             lr_per_batch[:-lr_drop_offset]
+
+    warmup = int(getattr(settings.train, "lr_warmup", 0) or 0)
+    if warmup:
+        # linear ramp 0 -> scheduled value over the first ``warmup``
+        # batches, applied on top of whatever decay produced (TPU-native
+        # addition; large-batch training stabilizer)
+        for i in range(min(warmup, total)):
+            lr_per_batch[i] = lr_per_batch[i] * (i + 1) / warmup
 
     if settings.run_folder:
         sched_file = os.path.join(
