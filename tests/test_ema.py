@@ -1,0 +1,159 @@
+"""Weight EMA (train: ema_decay) — shadow params ride inside opt_state:
+per-step blend math, checkpoint round-trip via "ema_params", EMA seeding
+when resuming from an EMA-less checkpoint, eval_params() selection, and
+dp x tp mesh compatibility (TPU-native addition; the reference has no
+EMA concept)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+DECAY = 0.5
+
+
+def _engine(mesh_shape=None, decay=DECAY):
+    import __graft_entry__ as graft
+    from video_learning_tpu.train import Train
+    settings, model = graft._flagship()
+    settings.compute_dtype = "float32"
+    if mesh_shape:
+        settings.mesh_shape = mesh_shape
+    settings.train.batch_size = 4
+    settings.train.ema_decay = decay
+    engine = Train(settings, settings.feeder, model, seed=0)
+    engine.place_params()
+    return engine
+
+
+def _feed(seed=0):
+    rng = np.random.RandomState(seed)
+    n = 4 * 4  # batch_clips * fpc
+    return {"frames_main_input": rng.randn(n, 67, 67, 3).astype(np.float32),
+            "labels": np.eye(16, dtype=np.int32)[np.arange(4) % 16]}
+
+
+def _np(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def _allclose(a, b, atol=1e-6):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        assert np.allclose(x, y, atol=atol), np.abs(x - y).max()
+
+
+def test_ema_blend_math():
+    """After k steps the shadow params are exactly the recursive blend
+    d*ema + (1-d)*params_new of the post-update params."""
+    engine = _engine()
+    ema = _np(engine.params)  # EMA starts at the init params
+    for s in range(2):
+        engine.run_step(_feed(s))
+        p = _np(engine.params)
+        ema = jax.tree_util.tree_map(
+            lambda e, q: DECAY * e + (1 - DECAY) * q, ema, p)
+    _allclose(engine.opt_state["ema"], ema, atol=1e-5)
+    # the shadow differs from the live params (it lags the trajectory)
+    diffs = [np.abs(a - b).max() for a, b in
+             zip(jax.tree_util.tree_leaves(_np(engine.opt_state["ema"])),
+                 jax.tree_util.tree_leaves(_np(engine.params)))]
+    assert max(diffs) > 0
+
+
+def test_ema_state_dict_roundtrip(tmp_path):
+    from video_learning_tpu import checkpoint as ck
+    engine = _engine()
+    engine.run_step(_feed())
+    state = engine.state_dict()
+    assert "ema_params" in state
+    path = str(tmp_path / "ema.ckpt")
+    ck.save_checkpoint(path, state)
+
+    # restore by NAME into a fresh engine's state tree (the production
+    # resume path shape), with loaded_out bookkeeping
+    engine2 = _engine()
+    target = engine2.state_dict()
+    loaded = []
+    ck.restore_checkpoint(path, target, loaded_out=loaded)
+    assert any(n.startswith("ema_params") for n in loaded)
+    engine2.load_state_dict(target, restored_names=loaded)
+    _allclose(engine2.opt_state["ema"], engine.opt_state["ema"])
+    _allclose(engine2.params, engine.params)
+    assert engine2.global_step == engine.global_step
+
+
+def test_ema_seeded_at_params_for_emaless_checkpoint():
+    """Resuming an ema_decay run from a checkpoint WITHOUT ema_params
+    (e.g. one written before EMA was enabled) seeds the shadow at the
+    restored params, not at the fresh-init values."""
+    engine = _engine()
+    engine.run_step(_feed())
+    state = engine.state_dict()
+    del state["ema_params"]
+
+    engine2 = _engine()
+    # restored_names says params came from a file but no ema did
+    engine2.load_state_dict(
+        state, restored_names=["params/anything"])
+    _allclose(engine2.opt_state["ema"], engine.params)
+
+
+def test_eval_params_selection():
+    engine = _engine()
+    engine.run_step(_feed())
+
+    class _V:
+        use_ema = True
+
+    engine.settings.val = _V()
+    _allclose(engine.eval_params(), engine.opt_state["ema"])
+    _V.use_ema = False
+    _allclose(engine.eval_params(), engine.params)
+    engine.settings.val = None
+    _allclose(engine.eval_params(), engine.params)
+
+
+def test_ema_dp_tp_matches_single_device():
+    """The EMA blend is elementwise, so the shadow params after a dp x tp
+    sharded step must match the single-device step's within the usual
+    sharded-reduction envelope."""
+    e1 = _engine({"data": 1, "model": 1})
+    e2 = _engine({"data": 2, "model": 2})
+    e1.run_step(_feed())
+    e2.run_step(_feed())
+    fa = jax.tree_util.tree_leaves(_np(e1.opt_state["ema"]))
+    fb = jax.tree_util.tree_leaves(_np(e2.opt_state["ema"]))
+    for a, b in zip(fa, fb):
+        assert np.allclose(a, b, atol=5e-3), np.abs(a - b).max()
+
+
+def test_ema_off_keeps_plain_opt_state():
+    engine = _engine(decay=0.0)
+    assert not isinstance(engine.opt_state, dict) or \
+        "ema" not in engine.opt_state
+    engine.run_step(_feed())  # step works, no EMA bookkeeping
+    state = engine.state_dict()
+    assert "ema_params" not in state
+
+
+def test_ema_config_parse_and_validation(tmp_path):
+    """The real YAML parser accepts ema_decay/use_ema and rejects an
+    out-of-range decay."""
+    from tests.test_defs_config import _write_config
+    from video_learning_tpu.config import Settings
+    from video_learning_tpu.utils import FrameworkError
+
+    cfg = _write_config(tmp_path, tmp_path / "data.train")
+    text = cfg.read_text().replace("base_lr: 0.05",
+                                   "base_lr: 0.05\n    ema_decay: 0.999")
+    cfg.write_text(text)
+    s = Settings()
+    s.initialize_from_file(str(cfg))
+    assert s.train.ema_decay == 0.999
+
+    cfg.write_text(text.replace("ema_decay: 0.999", "ema_decay: 1.5"))
+    with pytest.raises(FrameworkError):
+        Settings().initialize_from_file(str(cfg))

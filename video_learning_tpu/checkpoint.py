@@ -116,7 +116,8 @@ def load_flat(path):
         return pickle.load(f)
 
 
-def restore_checkpoint(path, state, ignorable_names=None, strict=False):
+def restore_checkpoint(path, state, ignorable_names=None, strict=False,
+                       loaded_out=None):
     """Load ``path`` into ``state`` (a mutable nested-dict pytree) with
     name diffing (reference feeder.py:224-249): names missing on either
     side are reported; ``ignorable_names`` (substring match, like the
@@ -143,6 +144,7 @@ def restore_checkpoint(path, state, ignorable_names=None, strict=False):
         error(msg) if strict else warning(msg)
 
     loaded = 0
+    loaded_names = []
     for name, value in saved.items():
         if name not in current or ignorable(name):
             continue
@@ -155,7 +157,12 @@ def restore_checkpoint(path, state, ignorable_names=None, strict=False):
             continue
         _assign_flat(state, name.split(_SEP), value)
         loaded += 1
+        loaded_names.append(name)
     info("Restored %d/%d variables from %s" % (loaded, len(current), path))
+    if loaded_out is not None:
+        # which names actually came from the file (e.g. the EMA fallback
+        # when resuming from an EMA-less checkpoint needs to know)
+        loaded_out.extend(loaded_names)
     return state
 
 

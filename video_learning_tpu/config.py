@@ -60,6 +60,7 @@ class TrainOpts:
     dropout_keep_prob = 0.5
     batch_item = defs.batch_item.default
     accum_steps = 1                 # micro-batches per optimizer step
+    ema_decay = 0.0                 # weight EMA factor (0 = off)
     eval_every_epochs = 0           # inline validation cadence (0 = off)
     early_stop_patience = 0         # stop after N non-improving evals
     eval_keep_best = False          # keep best.ckpt at the best val acc
@@ -72,6 +73,7 @@ class ValOpts:
     clip_fusion_method = None
     batch_item = defs.batch_item.default
     quantize = None                 # "int8": w8a8 serving forward
+    use_ema = False                 # evaluate the EMA weights
 
 
 class CaptionOpts:
@@ -371,6 +373,12 @@ class Settings:
                     error("accum_steps (%d) must divide batch_size (%d): "
                           "the batch is split into equal on-device "
                           "micro-batches" % (tr.accum_steps, tr.batch_size))
+                ema = obj.get("ema_decay")
+                tr.ema_decay = (0.0 if ema in (None, "None")
+                                else float(ema))
+                if tr.ema_decay and not 0.0 < tr.ema_decay < 1.0:
+                    error("ema_decay must be in (0, 1) (got %s)"
+                          % tr.ema_decay)
                 tr.eval_every_epochs = int(obj.get("eval_every_epochs",
                                                    0) or 0)
                 if tr.eval_every_epochs < 0:
@@ -536,6 +544,7 @@ class Settings:
             error("val quantize must be 'int8' (w8a8 serving "
                   "forward), got %r" % quant)
         va.quantize = None if quant in (None, "None") else quant
+        va.use_ema = bool(obj.get("use_ema", False))
         return va
 
     # ------------------------------------------------------- orchestration

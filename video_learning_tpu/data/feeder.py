@@ -292,7 +292,8 @@ class Feeder:
             from video_learning_tpu import checkpoint as ckpt_mod
             ckpt_mod.delete_checkpoint(path)
 
-    def init_saveload(self, state, resume_file, ignorable_variable_names):
+    def init_saveload(self, state, resume_file, ignorable_variable_names,
+                      loaded_out=None):
         """Compute save cadence and, when resuming, load the parameter
         checkpoint into ``state`` with name diffing against the current
         model (reference feeder.py:198-257).  Returns the (possibly
@@ -318,4 +319,5 @@ class Feeder:
             # must still restore its optimizer state and step.
             ignorables.append(defs.names.global_step)
             ignorables.append("opt_state_leaves")
-        return ckpt_mod.restore_checkpoint(ckpt, state, ignorables)
+        return ckpt_mod.restore_checkpoint(ckpt, state, ignorables,
+                                           loaded_out=loaded_out)

@@ -25,7 +25,7 @@ from video_learning_tpu.defs import defs
 from video_learning_tpu.models.pipeline import Model
 from video_learning_tpu.observe import MetricsWriter
 from video_learning_tpu.train import Train
-from video_learning_tpu.utils import elapsed_str, info
+from video_learning_tpu.utils import elapsed_str, info, warning
 from video_learning_tpu.val import Validation
 
 
@@ -269,8 +269,8 @@ def do_train(settings, engine, feeder, model, writer):
                 if inline_val is None:
                     inline_val = _make_inline_validation(settings, feeder,
                                                          model)
-                acc = run_inline_eval(settings, inline_val, engine.params,
-                                      feeder, model)
+                acc = run_inline_eval(settings, inline_val,
+                                      engine.eval_params(), feeder, model)
                 info("Inline validation after epoch %d: accuracy %2.5f"
                      % (settings.train.epoch_index, acc))
                 writer.write(engine.global_step, val_accuracy=acc)
@@ -388,22 +388,47 @@ def main(init_file):
     if settings.train:
         engine = Train(settings, feeder, model, seed=settings.seed)
         engine.global_step = settings.global_step
+        ignorables = model.get_ignorable_variable_names()
+        if not engine._ema_decay:
+            # a checkpoint from an EMA run restores cleanly into a
+            # non-EMA continuation (shadow params skipped silently)
+            ignorables = ignorables + ["ema_params"]
+        loaded = []
         state = feeder.init_saveload(
-            engine.state_dict(), settings.resume_file,
-            model.get_ignorable_variable_names())
-        engine.load_state_dict(state)
+            engine.state_dict(), settings.resume_file, ignorables,
+            loaded_out=loaded)
+        engine.load_state_dict(state, restored_names=loaded)
         engine.place_params()
         do_train(settings, engine, feeder, model, writer)
     else:
         val = Validation(settings, model)
         params = model.init_params(jax.random.PRNGKey(settings.seed))
         state = {"params": params}
+        use_ema = bool(settings.val and
+                       getattr(settings.val, "use_ema", False))
+        ignorables = model.get_ignorable_variable_names()
+        if use_ema:
+            # target slots for the shadow weights so the name-mapped
+            # restore can fill them
+            state["ema_params"] = jax.tree_util.tree_map(
+                lambda x: x, params)
+        else:
+            ignorables = ignorables + ["ema_params"]
         feeder.compute_save_interval()
+        loaded = []
         if settings.should_resume():
             state = feeder.init_saveload(
-                state, settings.resume_file,
-                model.get_ignorable_variable_names())
-        do_test(settings, val, state["params"], feeder, model, writer)
+                state, settings.resume_file, ignorables,
+                loaded_out=loaded)
+        eval_params = state["params"]
+        if use_ema:
+            if any(n.startswith("ema_params") for n in loaded):
+                info("Evaluating the EMA weights (val: use_ema)")
+                eval_params = state["ema_params"]
+            elif settings.should_resume():
+                warning("val: use_ema requested but the checkpoint has "
+                        "no ema_params; evaluating the live params")
+        do_test(settings, val, eval_params, feeder, model, writer)
 
     writer.close()
     info("Run [%s] complete." % settings.run_id, email=True)

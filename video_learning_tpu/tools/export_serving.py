@@ -95,7 +95,7 @@ def _dummy_media(workdir, dcfg, kind, fpc, cpv, n_items):
 
 def export(config_file, out, checkpoint="latest", batch_items=None,
            fpc=None, cpv=None, workdir=None, int8=False, platforms=None,
-           mesh_shape=None):
+           mesh_shape=None, use_ema=False):
     """Export the serving forward; returns the meta dict.
 
     ``mesh_shape`` ({"data": N, "model": M}) exports a MULTI-DEVICE
@@ -156,7 +156,8 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
         settings, feeder, model, params, val, kind = \
             build_serving_context(config_file, media, checkpoint,
                                   fpc, cpv, workdir,
-                                  batch_size=batch_items, int8=int8)
+                                  batch_size=batch_items, int8=int8,
+                                  use_ema=use_ema)
         is_caption = model.caption_dataset is not None
 
         # one REAL batch through the production chain fixes the
@@ -434,6 +435,9 @@ def main(argv=None):
     parser.add_argument("--cpv", type=int, help="clips per item")
     parser.add_argument("--int8", action="store_true",
                         help="bake the w8a8-quantized serving forward")
+    parser.add_argument("--ema", action="store_true",
+                        help="bake the EMA shadow weights from an "
+                             "ema_decay training run")
     parser.add_argument("--platforms", default="cpu,tpu",
                         help="comma-separated lowering targets")
     parser.add_argument("--mesh",
@@ -464,7 +468,8 @@ def main(argv=None):
     meta = export(args.config, args.out, checkpoint=args.checkpoint,
                   batch_items=batch_items, fpc=args.fpc,
                   cpv=args.cpv, workdir=args.workdir, int8=args.int8,
-                  platforms=args.platforms, mesh_shape=mesh_shape)
+                  platforms=args.platforms, mesh_shape=mesh_shape,
+                  use_ema=args.ema)
     if args.selftest:
         serving = load(args.out)
         zeros = [np.zeros(i["shape"], i["dtype"])

@@ -38,7 +38,8 @@ import tempfile
 import numpy as np
 import yaml
 
-from video_learning_tpu.utils import ensure_console_logging, error, info
+from video_learning_tpu.utils import ensure_console_logging, error, info, \
+    warning
 
 
 def _media_kind(paths):
@@ -176,7 +177,7 @@ def _softmax(logits):
 
 def build_serving_context(config_file, media, checkpoint="latest",
                           fpc=None, cpv=None, workdir=None,
-                          batch_size=None, int8=False):
+                          batch_size=None, int8=False, use_ema=False):
     """Pack ``media`` and construct the full serving stack from a
     training run config: (settings, feeder, model, restored params,
     Validation, media kind).  Shared by the inference CLI below and the
@@ -250,6 +251,8 @@ def build_serving_context(config_file, media, checkpoint="latest",
         # w8a8 serving forward for the frame encoders (models/layers
         # conv_apply_int8; int8 MXU runs at 2x the bf16 peak on v5e)
         val_cfg["quantize"] = "int8"
+    if use_ema:
+        val_cfg["use_ema"] = True
     if kind == "video" and not val_cfg.get("clip_fusion"):
         # video items always pass through clip fusion at accumulation
         val_cfg["clip_fusion"] = ["defs.fusion_type.late",
@@ -266,10 +269,24 @@ def build_serving_context(config_file, media, checkpoint="latest",
     model = Model(settings)
     params = model.init_params(jax.random.PRNGKey(settings.seed))
     if run_cfg["resume_file"]:
+        state = {"params": params}
+        ignorables = model.get_ignorable_variable_names()
+        if use_ema:
+            state["ema_params"] = jax.tree_util.tree_map(
+                lambda x: x, params)
+        else:
+            ignorables = ignorables + ["ema_params"]
+        loaded = []
         state = feeder.init_saveload(
-            {"params": params}, settings.resume_file,
-            model.get_ignorable_variable_names())
+            state, settings.resume_file, ignorables, loaded_out=loaded)
         params = state["params"]
+        if use_ema:
+            if any(n.startswith("ema_params") for n in loaded):
+                info("Serving the EMA weights (--ema)")
+                params = state["ema_params"]
+            else:
+                warning("--ema requested but the checkpoint has no "
+                        "ema_params; serving the live params")
     else:
         info("No checkpoint given (--checkpoint none): running with "
              "fresh parameters (smoke mode)")
@@ -281,7 +298,7 @@ def build_serving_context(config_file, media, checkpoint="latest",
 
 def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
           fpc=None, cpv=None, out=None, workdir=None, batch_size=None,
-          int8=False):
+          int8=False, use_ema=False):
     from video_learning_tpu import run_task
     from video_learning_tpu.batching import BatchGeometry
 
@@ -291,7 +308,8 @@ def infer(config_file, media, checkpoint="latest", topk=5, classes=None,
     try:
         settings, feeder, model, params, val, kind = \
             build_serving_context(config_file, media, checkpoint,
-                                  fpc, cpv, workdir, batch_size, int8)
+                                  fpc, cpv, workdir, batch_size, int8,
+                                  use_ema=use_ema)
         geometry = BatchGeometry()
         is_caption = model.caption_dataset is not None
         caption_rows = []
@@ -383,10 +401,13 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="w8a8-quantize the frame encoders (serving "
                              "PTQ; int8 MXU at 2x bf16 peak)")
+    parser.add_argument("--ema", action="store_true",
+                        help="serve the EMA shadow weights from an "
+                             "ema_decay training run")
     args = parser.parse_args(argv)
     return infer(args.config, args.media, args.checkpoint, args.topk,
                  args.classes, args.fpc, args.cpv, args.out, args.workdir,
-                 args.batch_size, int8=args.int8)
+                 args.batch_size, int8=args.int8, use_ema=args.ema)
 
 
 if __name__ == "__main__":

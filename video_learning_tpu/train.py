@@ -252,6 +252,16 @@ class Train:
         self.label_tree = make_label_tree(self.params, modified)
         self.tx = make_optimizer(settings, self.lr_array, self.label_tree)
         self.opt_state = self.tx.init(self.params)
+        # weight EMA (TPU-native addition): the shadow params ride inside
+        # opt_state so the jitted step, the scan-fused loop, donation, and
+        # checkpointing all see ONE state object; state_dict() splits them
+        # back out under "ema_params" for name-mapped restore
+        self._ema_decay = float(getattr(settings.train, "ema_decay", 0.0)
+                                or 0.0)
+        if self._ema_decay:
+            self.opt_state = {
+                "tx": self.opt_state,
+                "ema": jax.tree_util.tree_map(jnp.array, self.params)}
         self.base_rng = jax.random.PRNGKey(seed + 1)
         self.global_step = settings.global_step
 
@@ -349,14 +359,25 @@ class Train:
                 loss_sum_fn, has_aux=True)(params)
             return grads, loss_sum, jnp.sum(mask), correct
 
+        ema_decay = float(getattr(settings.train, "ema_decay", 0.0) or 0.0)
+
         def finish(params, opt_state, grads, sums, step):
             loss_sum, count, correct = sums
             denom = jnp.maximum(count, 1.0)
             grads = jax.tree_util.tree_map(
                 lambda g: (g.astype(jnp.float32) / denom).astype(g.dtype),
                 grads)
-            updates, new_opt_state = tx.update(grads, opt_state, params)
+            tx_state = opt_state["tx"] if ema_decay else opt_state
+            updates, new_tx_state = tx.update(grads, tx_state, params)
             new_params = optax.apply_updates(params, updates)
+            if ema_decay:
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay +
+                    p.astype(e.dtype) * (1.0 - ema_decay),
+                    opt_state["ema"], new_params)
+                new_opt_state = {"tx": new_tx_state, "ema": new_ema}
+            else:
+                new_opt_state = new_tx_state
             metrics = {
                 "loss": loss_sum / denom,
                 "lr": lr_const[jnp.clip(step, 0, lr_const.shape[0] - 1)],
@@ -426,13 +447,22 @@ class Train:
     def place_params(self):
         """Shard/replicate params + opt state onto the mesh.  Placing both
         up-front keeps jit input shardings identical to output shardings,
-        so the step executable compiles exactly once."""
+        so the step executable compiles exactly once.  EMA shadow params
+        are sharded exactly like the live params (they are elementwise
+        blends of them — a replicated EMA against tp-sharded params would
+        force a resharding collective every step)."""
         from video_learning_tpu.parallel.sharding import shard_params
         self.params = shard_params(self.params, self.mesh)
         repl = mesh_mod.replicated(self.mesh)
-        self.opt_state = jax.tree_util.tree_map(
+        opt = self.opt_state
+        ema = None
+        if self._ema_decay:
+            ema = shard_params(opt["ema"], self.mesh)
+            opt = opt["tx"]
+        opt = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, repl)
-            if hasattr(x, "shape") else x, self.opt_state)
+            if hasattr(x, "shape") else x, opt)
+        self.opt_state = {"tx": opt, "ema": ema} if ema is not None else opt
 
     # ----------------------------------------------------------- padding
     def _pad_feed(self, feed):
@@ -471,25 +501,64 @@ class Train:
         self.global_step += 1
         return {k: float(v) for k, v in metrics.items()}
 
+    def eval_params(self):
+        """Parameters an inline evaluation should use: the EMA shadow
+        weights when ema_decay is on and ``val: use_ema`` asks for them,
+        else the live params."""
+        if self._ema_decay and self.settings.val is not None and \
+                getattr(self.settings.val, "use_ema", False):
+            return self.opt_state["ema"]
+        return self.params
+
     # --------------------------------------------------- state (ckpt I/O)
     def state_dict(self):
         # only the LEAVES are stored; load_state_dict re-derives the
         # treedef from the live opt_state (the optimizer config defines
-        # the structure, not the checkpoint)
-        leaves, _ = jax.tree_util.tree_flatten(self.opt_state)
-        return {
+        # the structure, not the checkpoint).  EMA shadow params are
+        # stored as a named tree ("ema_params") so an eval phase can
+        # restore them by name like the live params.
+        opt = self.opt_state
+        ema = None
+        if self._ema_decay:
+            ema, opt = opt["ema"], opt["tx"]
+        leaves, _ = jax.tree_util.tree_flatten(opt)
+        out = {
             "params": jax.tree_util.tree_map(np.asarray, self.params),
             "opt_state_leaves": [np.asarray(l) for l in leaves],
             defs.names.global_step: np.asarray(self.global_step),
         }
+        if ema is not None:
+            out["ema_params"] = jax.tree_util.tree_map(np.asarray, ema)
+        return out
 
-    def load_state_dict(self, state):
+    def load_state_dict(self, state, restored_names=None):
+        """``restored_names``: the names actually loaded from a checkpoint
+        file (feeder.init_saveload's loaded_out), used to seed the EMA at
+        the restored params when resuming from an EMA-less checkpoint."""
         self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
-        leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
+        cur_tx = self.opt_state["tx"] if self._ema_decay else self.opt_state
+        leaves, treedef = jax.tree_util.tree_flatten(cur_tx)
         saved = state.get("opt_state_leaves")
+        new_tx = cur_tx
         if saved is not None and len(saved) == len(leaves):
-            self.opt_state = jax.tree_util.tree_unflatten(
+            new_tx = jax.tree_util.tree_unflatten(
                 treedef, [jnp.asarray(l) for l in saved])
+        if self._ema_decay:
+            resumed = bool(restored_names)
+            ema_from_ckpt = any(n.startswith("ema_params")
+                                for n in (restored_names or []))
+            if resumed and not ema_from_ckpt:
+                info("Checkpoint carries no EMA state; seeding the EMA "
+                     "at the restored params")
+                ema = jax.tree_util.tree_map(jnp.array, self.params)
+            elif state.get("ema_params") is not None:
+                ema = jax.tree_util.tree_map(jnp.asarray,
+                                             state["ema_params"])
+            else:
+                ema = self.opt_state["ema"]
+            self.opt_state = {"tx": new_tx, "ema": ema}
+        else:
+            self.opt_state = new_tx
         gs = state.get(defs.names.global_step)
         if gs is not None:
             self.global_step = int(gs)
