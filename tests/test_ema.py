@@ -4,6 +4,8 @@ when resuming from an EMA-less checkpoint, eval_params() selection, and
 dp x tp mesh compatibility (TPU-native addition; the reference has no
 EMA concept)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -137,6 +139,113 @@ def test_ema_off_keeps_plain_opt_state():
     engine.run_step(_feed())  # step works, no EMA bookkeeping
     state = engine.state_dict()
     assert "ema_params" not in state
+
+
+@pytest.fixture(scope="module")
+def ema_trained_run(tmp_path_factory):
+    """Pack a tiny video tree and train 2 epochs WITH ema_decay through
+    the production CLI; returns (config path, run folder, media dirs)."""
+    import yaml
+    from PIL import Image
+
+    from tests.conftest import make_image
+    from tests.test_train_e2e import _pack, _run_config
+    from video_learning_tpu import run_task
+
+    tmp_path = tmp_path_factory.mktemp("emarun")
+    vids = []
+    for v in range(3):
+        vdir = tmp_path / ("vid%d" % v)
+        vdir.mkdir()
+        for i in range(12):
+            Image.fromarray(make_image(112, 112, seed=v * 50 + i)).save(
+                vdir / ("f_%04d.jpg" % i), quality=95)
+        vids.append(str(vdir))
+    tree = tmp_path / "videos.train"
+    tree.write_text("\n".join("%s %d" % (v, i)
+                              for i, v in enumerate(vids)) + "\n")
+    _pack(tmp_path, tree)
+    cfg, run_folder = _run_config(tmp_path, tree, "train", epochs=2)
+    doc = yaml.safe_load(cfg.read_text())
+    doc["run"]["train"]["ema_decay"] = 0.5
+    cfg.write_text(yaml.safe_dump(doc))
+    run_task.main(str(cfg))
+    return tmp_path, cfg, run_folder, vids
+
+
+def test_infer_ema_vs_live(ema_trained_run, tmp_path):
+    """tools/infer --ema serves the shadow weights: the probabilities
+    differ from the live-weight serve of the same checkpoint, and the
+    shadow params build_serving_context picks are exactly the
+    checkpoint's ema_params tree (the path export_serving --ema shares)."""
+    from video_learning_tpu import checkpoint as ck
+    from video_learning_tpu.tools import infer as infer_mod
+
+    fix_path, cfg, run_folder, vids = ema_trained_run
+    live = infer_mod.main([str(cfg), "--media", *vids,
+                           "--checkpoint", "latest", "--topk", "3",
+                           "--workdir", str(tmp_path / "w1")])
+    ema = infer_mod.main([str(cfg), "--media", *vids,
+                          "--checkpoint", "latest", "--topk", "3",
+                          "--ema", "--workdir", str(tmp_path / "w2")])
+    assert len(live) == len(ema) == 3
+    live_probs = [p for r in live for _, p in r["topk"]]
+    ema_probs = [p for r in ema for _, p in r["topk"]]
+    # decay 0.5 over 2 epochs leaves the shadow measurably off the live
+    # trajectory — identical probs would mean --ema was ignored
+    assert np.abs(np.array(live_probs) - np.array(ema_probs)).max() > 1e-6
+
+    # the params the serving stack selects ARE the checkpointed shadow
+    (tmp_path / "w3").mkdir(exist_ok=True)
+    settings, feeder, model, params, val, kind = \
+        infer_mod.build_serving_context(
+            str(cfg), vids, "latest", workdir=str(tmp_path / "w3"),
+            use_ema=True)
+    ckpts = sorted(f for f in os.listdir(run_folder / "checkpoints")
+                   if f.endswith(".ckpt"))
+    flat = ck.load_flat(str(run_folder / "checkpoints" / ckpts[-1]))
+    saved_ema = {k: v for k, v in flat.items()
+                 if k.startswith("ema_params/")}
+    assert saved_ema
+    got = ck.flatten_tree({"ema_params": params})
+    assert set(got) == set(saved_ema)
+    for name, value in saved_ema.items():
+        assert np.allclose(np.asarray(got[name]), value, atol=1e-7), name
+
+
+def test_infer_ema_fallback_to_live_weights(tmp_path):
+    """--ema against a checkpoint WITHOUT ema_params warns and serves the
+    live weights — results identical to the plain serve."""
+    import yaml
+    from PIL import Image
+
+    from tests.conftest import make_image
+    from tests.test_train_e2e import _pack, _run_config
+    from video_learning_tpu import run_task
+    from video_learning_tpu.tools import infer as infer_mod
+
+    vids = []
+    for v in range(2):
+        vdir = tmp_path / ("vid%d" % v)
+        vdir.mkdir()
+        for i in range(10):
+            Image.fromarray(make_image(112, 112, seed=v * 9 + i)).save(
+                vdir / ("f_%04d.jpg" % i), quality=95)
+        vids.append(str(vdir))
+    tree = tmp_path / "videos.train"
+    tree.write_text("\n".join("%s %d" % (v, i)
+                              for i, v in enumerate(vids)) + "\n")
+    _pack(tmp_path, tree)
+    cfg, run_folder = _run_config(tmp_path, tree, "train", epochs=1)
+    run_task.main(str(cfg))  # no ema_decay: checkpoint has no shadow
+
+    live = infer_mod.main([str(cfg), "--media", *vids,
+                           "--checkpoint", "latest", "--topk", "2",
+                           "--workdir", str(tmp_path / "w1")])
+    ema = infer_mod.main([str(cfg), "--media", *vids,
+                          "--checkpoint", "latest", "--topk", "2",
+                          "--ema", "--workdir", str(tmp_path / "w2")])
+    assert [r["topk"] for r in live] == [r["topk"] for r in ema]
 
 
 def test_ema_config_parse_and_validation(tmp_path):
