@@ -248,6 +248,63 @@ def test_infer_ema_fallback_to_live_weights(tmp_path):
     assert [r["topk"] for r in live] == [r["topk"] for r in ema]
 
 
+def test_select_eval_params_partial_restore_seeds_from_live():
+    """A checkpoint whose ema_params tree is only partially restorable
+    (shape drift skipped leaves) must complete the shadow from the
+    RESTORED live params, never serve fresh-init slot values."""
+    from video_learning_tpu import checkpoint as ck
+
+    fresh = {"a": np.zeros(2), "b": np.zeros(3)}
+    state, ig = ck.prepare_eval_state(dict(fresh), [], use_ema=True)
+    # simulate a restore that loaded params fully but only ema b
+    state["params"] = {"a": np.ones(2), "b": np.full(3, 2.0)}
+    state["ema_params"]["b"] = np.full(3, 5.0)
+    loaded = ["params/a", "params/b", "ema_params/b"]
+    params, used = ck.select_eval_params(state, loaded, True, True, "t")
+    assert used
+    assert np.allclose(params["b"], 5.0)          # restored shadow leaf
+    assert np.allclose(params["a"], 1.0)          # seeded from live, not 0
+
+
+def test_select_eval_params_no_ema_in_checkpoint():
+    from video_learning_tpu import checkpoint as ck
+    fresh = {"a": np.ones(2)}
+    state, _ = ck.prepare_eval_state(dict(fresh), [], use_ema=True)
+    params, used = ck.select_eval_params(
+        state, ["params/a"], True, True, "t")
+    assert not used and params is state["params"]
+    # not resuming at all: live params, ema not used
+    params, used = ck.select_eval_params(state, [], True, False, "t")
+    assert not used
+
+
+def test_inline_eval_use_ema_requires_ema_decay(tmp_path):
+    """train: eval_every_epochs + val: use_ema without train: ema_decay
+    is rejected at parse time (the inline evals would silently judge
+    early stopping / best.ckpt on the live weights)."""
+    import yaml
+
+    from tests.test_train_e2e import _run_config
+    from video_learning_tpu.config import Settings
+    from video_learning_tpu.utils import FrameworkError
+
+    cfg, _ = _run_config(tmp_path, tmp_path / "nodata.train", "train")
+    doc = yaml.safe_load(cfg.read_text())
+    doc["run"]["train"]["eval_every_epochs"] = 1
+    doc["run"]["val"]["use_ema"] = True
+    cfg.write_text(yaml.safe_dump(doc))
+    with pytest.raises(FrameworkError, match="use_ema needs"):
+        Settings().initialize_from_file(str(cfg))
+    # with ema_decay it parses (dataset init will fail later on the
+    # missing file, which is not what this test pins)
+    doc["run"]["train"]["ema_decay"] = 0.99
+    cfg.write_text(yaml.safe_dump(doc))
+    try:
+        Settings().initialize_from_file(str(cfg))
+    except FrameworkError as e:
+        assert "use_ema" not in str(e)
+
+
 def test_ema_config_parse_and_validation(tmp_path):
     """The real YAML parser accepts ema_decay/use_ema and rejects an
     out-of-range decay."""

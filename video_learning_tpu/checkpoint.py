@@ -64,6 +64,66 @@ def _to_numpy(leaf):
     return leaf
 
 
+def _copy_tree(tree):
+    """Structural copy of a dict/list pytree (leaves shared).  Tuples
+    become lists — restore targets must be mutable (_assign_flat)."""
+    if isinstance(tree, dict):
+        return {k: _copy_tree(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_copy_tree(v) for v in tree]
+    return tree
+
+
+# --------------------------------------------- EMA eval-weight selection
+def prepare_eval_state(params, ignorables, use_ema):
+    """Build the restore target for an eval/serving consumer.  With
+    ``use_ema`` the state carries "ema_params" slots shaped like
+    ``params`` so the name-mapped restore can fill the shadow weights;
+    without it, the shadow tree in an EMA checkpoint is skipped silently
+    (via an ignorable).  Returns ``(state, ignorables)``."""
+    state = {"params": params}
+    if use_ema:
+        state["ema_params"] = _copy_tree(params)
+    else:
+        ignorables = list(ignorables) + ["ema_params"]
+    return state, ignorables
+
+
+def select_eval_params(state, loaded_names, use_ema, resumed, origin):
+    """Pick the weights an eval/serving consumer should run: the restored
+    EMA shadow tree when ``use_ema`` and the checkpoint carries one, else
+    the live params.  A PARTIALLY restored shadow (shape drift skipped
+    some leaves) is completed from the restored live params — the
+    fresh-init slot values must never be served as "EMA weights".
+    ``loaded_names`` is the restore's ``loaded_out`` bookkeeping;
+    ``origin`` labels the request in log lines (e.g. "val: use_ema").
+    Returns ``(params, ema_used)``."""
+    if not use_ema:
+        return state["params"], False
+    if not resumed:
+        warning("%s requested but no checkpoint is being restored; "
+                "using the (fresh) live params" % origin)
+        return state["params"], False
+    got = set(n for n in (loaded_names or [])
+              if n.startswith("ema_params" + _SEP))
+    if not got:
+        warning("%s requested but the checkpoint has no ema_params; "
+                "using the live params" % origin)
+        return state["params"], False
+    missing = [n for n in flatten_tree({"ema_params": state["ema_params"]})
+               if n not in got]
+    if missing:
+        warning("%s: %d EMA leaves missing from the checkpoint (shape "
+                "drift?); seeding them from the restored live params"
+                % (origin, len(missing)))
+        live = flatten_tree({"params": state["params"]})
+        for name in missing:
+            value = live["params" + _SEP + name.split(_SEP, 1)[1]]
+            _assign_flat(state, name.split(_SEP), value)
+    info("Evaluating the EMA weights (%s)" % origin)
+    return state["ema_params"], True
+
+
 # ------------------------------------------------------------------- public
 def _reject_tuple_nodes(tree, prefix=""):
     """Tuples flatten like lists but cannot be assigned into on restore

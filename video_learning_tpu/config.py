@@ -415,6 +415,11 @@ class Settings:
                       "evaluate captioners with "
                       "tools/evaluate_multiple_checkpoints")
             self.val = self._read_val_opts(config["val"])
+            if self.val.use_ema and not self.train.ema_decay:
+                # the inline evals would silently judge best.ckpt /
+                # early stopping on the LIVE weights
+                error("val: use_ema needs train: ema_decay (no EMA "
+                      "shadow is maintained without it)")
 
         # captioning options (config.example.yml:93-97)
         if "captioning" in config:

@@ -19,6 +19,7 @@ import time
 import jax
 import numpy as np
 
+from video_learning_tpu import checkpoint as ckpt_mod
 from video_learning_tpu.config import Settings
 from video_learning_tpu.data import captions as captions_mod
 from video_learning_tpu.defs import defs
@@ -389,7 +390,7 @@ def main(init_file):
         engine = Train(settings, feeder, model, seed=settings.seed)
         engine.global_step = settings.global_step
         ignorables = model.get_ignorable_variable_names()
-        if not engine._ema_decay:
+        if not settings.train.ema_decay:
             # a checkpoint from an EMA run restores cleanly into a
             # non-EMA continuation (shadow params skipped silently)
             ignorables = ignorables + ["ema_params"]
@@ -403,31 +404,19 @@ def main(init_file):
     else:
         val = Validation(settings, model)
         params = model.init_params(jax.random.PRNGKey(settings.seed))
-        state = {"params": params}
         use_ema = bool(settings.val and
                        getattr(settings.val, "use_ema", False))
-        ignorables = model.get_ignorable_variable_names()
-        if use_ema:
-            # target slots for the shadow weights so the name-mapped
-            # restore can fill them
-            state["ema_params"] = jax.tree_util.tree_map(
-                lambda x: x, params)
-        else:
-            ignorables = ignorables + ["ema_params"]
+        state, ignorables = ckpt_mod.prepare_eval_state(
+            params, model.get_ignorable_variable_names(), use_ema)
         feeder.compute_save_interval()
         loaded = []
-        if settings.should_resume():
+        resumed = settings.should_resume()
+        if resumed:
             state = feeder.init_saveload(
                 state, settings.resume_file, ignorables,
                 loaded_out=loaded)
-        eval_params = state["params"]
-        if use_ema:
-            if any(n.startswith("ema_params") for n in loaded):
-                info("Evaluating the EMA weights (val: use_ema)")
-                eval_params = state["ema_params"]
-            elif settings.should_resume():
-                warning("val: use_ema requested but the checkpoint has "
-                        "no ema_params; evaluating the live params")
+        eval_params, _ = ckpt_mod.select_eval_params(
+            state, loaded, use_ema, resumed, "val: use_ema")
         do_test(settings, val, eval_params, feeder, model, writer)
 
     writer.close()

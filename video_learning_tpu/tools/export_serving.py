@@ -246,6 +246,7 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
             "frames_per_clip": int(use_fpc or 1),
             "clips_per_item": int(cpv or t_cpv or 1),
             "quantize": "int8" if int8 else None,
+            "ema": bool(getattr(settings, "serving_ema", False)),
             "mesh": ({"data": int(val.mesh.shape["data"]),
                       "model": int(val.mesh.shape["model"])}
                      if val.mesh.size > 1 else None),

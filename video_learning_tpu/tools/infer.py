@@ -268,28 +268,25 @@ def build_serving_context(config_file, media, checkpoint="latest",
     feeder = settings.initialize(infer_cfg)
     model = Model(settings)
     params = model.init_params(jax.random.PRNGKey(settings.seed))
+    from video_learning_tpu import checkpoint as ckpt_mod
+    ema_used = False
     if run_cfg["resume_file"]:
-        state = {"params": params}
-        ignorables = model.get_ignorable_variable_names()
-        if use_ema:
-            state["ema_params"] = jax.tree_util.tree_map(
-                lambda x: x, params)
-        else:
-            ignorables = ignorables + ["ema_params"]
+        state, ignorables = ckpt_mod.prepare_eval_state(
+            params, model.get_ignorable_variable_names(), use_ema)
         loaded = []
         state = feeder.init_saveload(
             state, settings.resume_file, ignorables, loaded_out=loaded)
-        params = state["params"]
-        if use_ema:
-            if any(n.startswith("ema_params") for n in loaded):
-                info("Serving the EMA weights (--ema)")
-                params = state["ema_params"]
-            else:
-                warning("--ema requested but the checkpoint has no "
-                        "ema_params; serving the live params")
+        params, ema_used = ckpt_mod.select_eval_params(
+            state, loaded, use_ema, True, "--ema")
     else:
+        if use_ema:
+            warning("--ema requested but no checkpoint is restored "
+                    "(--checkpoint none); serving fresh parameters")
         info("No checkpoint given (--checkpoint none): running with "
              "fresh parameters (smoke mode)")
+    # provenance for export_serving: whether EMA weights were actually
+    # baked (the request can fall back to live weights)
+    settings.serving_ema = ema_used
 
     val = Validation(settings, model)
     val.validation_logits_save_interval = None  # no chunk pickles

@@ -359,7 +359,10 @@ class Train:
                 loss_sum_fn, has_aux=True)(params)
             return grads, loss_sum, jnp.sum(mask), correct
 
-        ema_decay = float(getattr(settings.train, "ema_decay", 0.0) or 0.0)
+        # single source of truth for the opt_state structure: the value
+        # captured at construction (mutating settings afterwards must not
+        # desync the compiled step from state_dict/place_params)
+        ema_decay = self._ema_decay
 
         def finish(params, opt_state, grads, sums, step):
             loss_sum, count, correct = sums
