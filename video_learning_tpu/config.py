@@ -61,6 +61,7 @@ class TrainOpts:
     batch_item = defs.batch_item.default
     accum_steps = 1                 # micro-batches per optimizer step
     ema_decay = 0.0                 # weight EMA factor (0 = off)
+    weight_decay = 0.0              # adamw decoupled decay (0 = off)
     eval_every_epochs = 0           # inline validation cadence (0 = off)
     early_stop_patience = 0         # stop after N non-improving evals
     eval_keep_best = False          # keep best.ckpt at the best val acc
@@ -343,6 +344,16 @@ class Settings:
                 tr.batch_size = int(obj["batch_size"])
                 tr.epochs = int(obj["epochs"])
                 tr.optimizer = defs.check(obj["optimizer"], defs.optim)
+                wd = obj.get("weight_decay")
+                tr.weight_decay = (0.0 if wd in (None, "None")
+                                   else float(wd))
+                if tr.weight_decay < 0:
+                    error("weight_decay must be >= 0 (got %s)"
+                          % tr.weight_decay)
+                if tr.weight_decay and tr.optimizer != defs.optim.adamw:
+                    error("weight_decay is decoupled decay and needs "
+                          "optimizer: defs.optim.adamw (got %s)"
+                          % tr.optimizer)
                 tr.base_lr = float(obj["base_lr"])
                 tr.lr_mult = (None if str(obj.get("lr_mult")) in
                               ("None", "") or obj.get("lr_mult") is None

@@ -55,7 +55,9 @@ class defs:
     generation_error = _Group(
         "generation_error", ["abort", "compromise", "report"])
     batch_item = _Group("batch_item", ["default", "clip"])
-    optim = _Group("optim", ["sgd", "rmsprop", "adam"])
+    # adamw is a TPU-native addition (decoupled weight decay); the
+    # reference enumerates sgd/rmsprop/adam (defs_.py optim group)
+    optim = _Group("optim", ["sgd", "rmsprop", "adam", "adamw"])
     decay = _Group("decay", ["exp", "staircase", "cosine"])
     periodicity = _Group("periodicity", ["interval", "drops"])
     label_type = _Group("label_type", ["single", "multiple"])

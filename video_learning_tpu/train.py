@@ -143,13 +143,25 @@ def precompute_learning_rates(settings, num_batches):
 
 
 # ------------------------------------------------------------- optimizer
-def _base_opt(name, schedule):
+def _decay_mask(params):
+    """Decoupled weight decay applies to matrices/kernels only (ndim > 1);
+    biases and other vector/scalar params are exempt — the standard
+    AdamW practice (Loshchilov & Hutter 2019)."""
+    return jax.tree_util.tree_map(
+        lambda p: getattr(p, "ndim", 0) > 1, params)
+
+
+def _base_opt(train, schedule):
+    name = train.optimizer
     if name == defs.optim.sgd:
         return optax.sgd(schedule)
     if name == defs.optim.adam:
         return optax.adam(schedule)
     if name == defs.optim.rmsprop:
         return optax.rmsprop(schedule)
+    if name == defs.optim.adamw:
+        wd = float(getattr(train, "weight_decay", 0.0) or 0.0)
+        return optax.adamw(schedule, weight_decay=wd, mask=_decay_mask)
     error("Undefined optimizer %s" % name)
 
 
@@ -167,11 +179,11 @@ def make_optimizer(settings, lr_array, label_tree=None):
         def schedule_mod(count):
             return schedule(count) * mult
         tx = optax.multi_transform(
-            {"regular": _base_opt(settings.train.optimizer, schedule),
-             "modified": _base_opt(settings.train.optimizer, schedule_mod)},
+            {"regular": _base_opt(settings.train, schedule),
+             "modified": _base_opt(settings.train, schedule_mod)},
             label_tree)
     else:
-        tx = _base_opt(settings.train.optimizer, schedule)
+        tx = _base_opt(settings.train, schedule)
 
     chain = []
     if settings.train.clip_norm:
