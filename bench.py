@@ -328,12 +328,7 @@ def run_eval(args):
     dset = settings.feeder.get_dataset_by_tag(defs.dataset_tag.main)[0]
     pre = make_preprocessor(dset.processor, out_dtype=model.compute_dtype)
 
-    quantize = "int8" if args.int8 else None
-    # production serving pre-quantizes weights once per checkpoint
-    # (val._maybe_quantize); the benchmark measures the same steady
-    # state, not a per-batch re-quantize
-    fwd_params = model.quantize_params(engine.params) if quantize \
-        else engine.params
+    quantize = "int8" if (args.int8 or args.int8_static) else None
 
     def fwd(params, prms, frames):
         x = pre(frames, prms)
@@ -355,12 +350,34 @@ def run_eval(args):
     raw_dev = jax.device_put(raw)
     prms_dev = jax.device_put(prms)
     beat()
+    # production serving pre-quantizes weights once per checkpoint
+    # (val._maybe_quantize); the benchmark measures the same steady
+    # state, not a per-batch re-quantize.  --int8-static additionally
+    # calibrates activation scales on the bench batch (val's first-eval-
+    # batch calibration), removing the per-batch amax reductions.
+    fwd_params = engine.params
+    if quantize:
+        ranges = None
+        if args.int8_static:
+            def calib(params, prms_, frames):
+                x = pre(frames, prms_)
+                taps = {}
+                model.apply(params, {"frames_main_input": x}, train=False,
+                            calib_taps=taps)
+                return taps
+            ranges = jax.device_get(
+                jax.jit(calib)(engine.params, prms_dev, raw_dev))
+        fwd_params = model.quantize_params(engine.params,
+                                           act_ranges=ranges)
+    beat()
     sec = _timed(fwd, fwd_params, prms_dev, raw_dev,
                  inner=steps, reps=1 if on_cpu else 5)
     beat()
     clips_per_sec = batch_clips / sec
     metric = "eval_clips_per_sec_per_chip_lstm_acrec_fpc%d" % fpc
-    if args.int8:
+    if args.int8_static:
+        metric += "_int8_static"
+    elif args.int8:
         metric += "_int8"
     if cpu_fallback:
         metric += "_CPUFALLBACK_tpu_unreachable"
@@ -409,9 +426,7 @@ def run_latency(args):
     from video_learning_tpu.tools.profile_ablation import _timed
     dset = settings.feeder.get_dataset_by_tag(defs.dataset_tag.main)[0]
     pre = make_preprocessor(dset.processor, out_dtype=model.compute_dtype)
-    quantize = "int8" if args.int8 else None
-    fwd_params = model.quantize_params(engine.params) if quantize \
-        else engine.params
+    quantize = "int8" if (args.int8 or args.int8_static) else None
 
     def fwd(params, prms, frames):
         x = pre(frames, prms)
@@ -420,6 +435,31 @@ def run_latency(args):
 
     rng = np.random.RandomState(0)
     beat = _start_stall_watchdog()
+    fwd_params = engine.params
+    if quantize:
+        # calibrate static scales (if requested) on one capacity-sized
+        # batch — scales are a property of the params, shared by every
+        # bucket exactly as one .vlx artifact shares them
+        ranges = None
+        if args.int8_static:
+            n = cap * fpc
+            craw = jax.device_put(
+                rng.randint(0, 256, (n,) + raw_hw + (3,), np.uint8))
+            cprms = np.zeros((n, 3), np.int32)
+            cprms[:, 0] = rng.randint(0, raw_hw[0] - crop + 1, n)
+            cprms[:, 1] = rng.randint(0, raw_hw[1] - crop + 1, n)
+
+            def calib(params, prms_, frames):
+                x = pre(frames, prms_)
+                taps = {}
+                model.apply(params, {"frames_main_input": x}, train=False,
+                            calib_taps=taps)
+                return taps
+            ranges = jax.device_get(jax.jit(calib)(
+                engine.params, jax.device_put(cprms), craw))
+            beat()
+        fwd_params = model.quantize_params(engine.params,
+                                           act_ranges=ranges)
     per_bucket = {}
     steps = args.steps or (2 if on_cpu else 20)
     for b in buckets:
@@ -438,7 +478,9 @@ def run_latency(args):
         sys.stderr.write("bucket %3d: %.3f ms/call\n" % (b, sec * 1000))
 
     metric = "serving_forward_ms_per_call_bucket1_fpc%d" % fpc
-    if args.int8:
+    if args.int8_static:
+        metric += "_int8_static"
+    elif args.int8:
         metric += "_int8"
     if cpu_fallback:
         metric += "_CPUFALLBACK_tpu_unreachable"
@@ -470,6 +512,9 @@ def main():
                     help="forward-only serving throughput")
     ap.add_argument("--int8", action="store_true",
                     help="with --eval: w8a8-quantize the frame encoder")
+    ap.add_argument("--int8-static", action="store_true",
+                    help="with --eval/--latency: int8 with calibrated "
+                         "static activation scales (no per-batch amax)")
     ap.add_argument("--latency", action="store_true",
                     help="serving forward ms/call by batch bucket")
     args = ap.parse_args()

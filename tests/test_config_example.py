@@ -70,12 +70,13 @@ def test_val_quantize_validation(tmp_path):
     s = Settings()
     with pytest.raises(FrameworkError, match="quantize"):
         s.initialize_from_file(str(cfg_path))
-    # valid value parses
-    run["val"]["quantize"] = "int8"
-    cfg_path.write_text(yaml.safe_dump({"run": run}))
-    s2 = Settings()
-    s2.initialize_from_file(str(cfg_path))
-    assert s2.val.quantize == "int8"
+    # valid values parse
+    for mode in ("int8", "int8_static"):
+        run["val"]["quantize"] = mode
+        cfg_path.write_text(yaml.safe_dump({"run": run}))
+        s2 = Settings()
+        s2.initialize_from_file(str(cfg_path))
+        assert s2.val.quantize == mode
 
 
 def test_serialize_example_section_parses(tmp_path):

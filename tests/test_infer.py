@@ -317,6 +317,20 @@ def test_export_serving_int8(trained_video_run, tmp_path):
     rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
     assert rel < 0.1, "int8 artifact rel err %.4f" % rel
 
+    # static activation scales, calibrated on the signature batch,
+    # baked into the artifact (no per-batch amax in the StableHLO)
+    out_s = tmp_path / "model_int8s.vlx"
+    meta_s = exp_mod.main([str(cfg), "--out", str(out_s),
+                           "--batch-items", "1", "--platforms", "cpu",
+                           "--int8-static"])
+    assert meta_s["quantize"] == "int8_static"
+    quant_s = exp_mod.load(str(out_s))
+    c = quant_s(*arrays)
+    assert c.shape == a.shape
+    assert np.all(np.isfinite(c))
+    rel_s = np.linalg.norm(a - c) / (np.linalg.norm(a) + 1e-9)
+    assert rel_s < 0.12, "int8_static artifact rel err %.4f" % rel_s
+
 
 def test_export_serving_multidevice(trained_video_run, tmp_path):
     """--mesh exports a GSPMD-partitioned artifact (inputs batch-sharded

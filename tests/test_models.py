@@ -261,6 +261,84 @@ def test_quantize_params_matches_in_graph_quantize():
     np.testing.assert_array_equal(out_raw, out_pre)
 
 
+def test_int8_static_calibrated_scales():
+    """Static-scale int8: apply_calib taps every int8-eligible layer
+    input without changing the float output; quantize_params(act_ranges)
+    bakes "xs" scales; the static forward tracks f32 on the calibration
+    batch AND on a fresh batch (out-of-range activations saturate, they
+    don't explode)."""
+    rng = np.random.RandomState(0)
+    fc6_in = alexnet.conv_output_flat_dim((67, 67, 3))
+    p = alexnet.init(jax.random.PRNGKey(0), 10, "prob", fc6_in=fc6_in)
+    x = jnp.asarray(rng.randint(0, 256, (4, 67, 67, 3)) - 117.0,
+                    jnp.float32)
+    out, taps = alexnet.apply_calib(p, x, "prob")
+    assert sorted(taps) == ["conv2", "conv3", "conv4", "conv5",
+                            "fc6", "fc7", "fc8"]
+    ref = np.asarray(alexnet.apply(p, x, "prob"))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                               atol=1e-4)
+    qp = alexnet.quantize_params(p, act_ranges=jax.device_get(taps))
+    assert "xs" in qp["conv2"] and "xs" in qp["fc8"]
+    assert "xs" not in alexnet.quantize_params(p)["conv2"]
+    stat = np.asarray(alexnet.apply_int8(qp, x, "prob"))
+    rel = np.linalg.norm(stat - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.08, "static int8 rel err %.4f" % rel
+    assert (ref.argmax(-1) == stat.argmax(-1)).mean() >= 0.75
+    # fresh batch through the SAME baked scales
+    x2 = jnp.asarray(rng.randint(0, 256, (4, 67, 67, 3)) - 117.0,
+                     jnp.float32)
+    ref2 = np.asarray(alexnet.apply(p, x2, "prob"))
+    stat2 = np.asarray(alexnet.apply_int8(qp, x2, "prob"))
+    assert np.all(np.isfinite(stat2))
+    rel2 = np.linalg.norm(stat2 - ref2) / (np.linalg.norm(ref2) + 1e-9)
+    assert rel2 < 0.15, "static int8 fresh-batch rel err %.4f" % rel2
+
+
+def test_pipeline_int8_static_calibration():
+    """Model.apply(calib_taps=...) collects {pipeline: {layer: amax}}
+    through the DAG, Model.quantize_params(act_ranges=...) bakes the
+    static scales into the DCNN leaf, and the int8_static forward tracks
+    the float DAG.  Calibration combined with a quantized forward is
+    rejected (it must see float activations)."""
+    import pytest
+    from video_learning_tpu.models.pipeline import Model
+    from video_learning_tpu.utils import FrameworkError
+    from tests.test_pipeline_model import StubDataset, _net, _settings
+
+    ds = StubDataset("main", (67, 67, 3), 1, 2)
+    enc = _net(input=["main"], representation=defs.representation.dcnn,
+               frame_encoding_layer="fc6")
+    clf = _net(input=["enc"], representation=defs.representation.nop,
+               classifier=defs.classifier.lstm,
+               lstm_params=[12, 1, defs.fusion_method.avg])
+    s = _settings({"enc": enc, "clf": clf}, ["enc", "clf"], [ds],
+                  num_classes=4)
+    model = Model(s)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    feed = {"enc_main_input":
+            (rng.randint(0, 256, (4, 67, 67, 3)) - 117.0).astype(
+                np.float32)}
+    taps = {}
+    ref = np.asarray(model.apply(params, feed, train=False,
+                                 calib_taps=taps))
+    assert "enc" in taps and "conv2" in taps["enc"]
+    # the calibration pass IS the float forward
+    plain = np.asarray(model.apply(params, feed, train=False))
+    np.testing.assert_allclose(ref, plain, rtol=1e-4, atol=1e-4)
+    qparams = model.quantize_params(params,
+                                    act_ranges=jax.device_get(taps))
+    assert "xs" in qparams["enc"]["dcnn"]["conv2"]
+    q = np.asarray(model.apply(qparams, feed, train=False,
+                               quantize="int8_static"))
+    rel = np.linalg.norm(q - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.1, "pipeline static int8 rel err %.4f" % rel
+    with pytest.raises(FrameworkError, match="calibration"):
+        model.apply(params, feed, train=False, quantize="int8",
+                    calib_taps={})
+
+
 def test_max_pool_valid():
     x = jnp.arange(2 * 7 * 7 * 1, dtype=jnp.float32).reshape(2, 7, 7, 1)
     y = max_pool(x, (3, 3), (2, 2), "VALID")

@@ -225,9 +225,12 @@ def test_train_with_async_checkpointing(packed_tree):
     assert gstep == 4 and epoch_idx == 1
 
 
-def test_validate_quantized_int8(packed_tree):
-    """val: quantize: int8 through the CLI driver — the w8a8 serving
-    forward produces a valid accuracy file on the same checkpoint."""
+@pytest.mark.parametrize("mode", ["int8", "int8_static"])
+def test_validate_quantized_int8(packed_tree, mode):
+    """val: quantize: int8 / int8_static through the CLI driver — the
+    w8a8 serving forward (dynamic or first-batch-calibrated static
+    activation scales) produces a valid accuracy file on the same
+    checkpoint."""
     from video_learning_tpu import run_task
     import yaml
     tmp_path, tree = packed_tree
@@ -239,8 +242,8 @@ def test_validate_quantized_int8(packed_tree):
 
     vcfg, _ = _run_config(tmp_path, tree, "val", resume="latest")
     docs = yaml.safe_load(vcfg.read_text())
-    docs["run"]["val"]["quantize"] = "int8"
-    vcfg2 = tmp_path / "val_int8.yml"
+    docs["run"]["val"]["quantize"] = mode
+    vcfg2 = tmp_path / ("val_%s.yml" % mode)
     vcfg2.write_text(yaml.safe_dump(docs))
     run_task.main(str(vcfg2))
     accf = [f for f in os.listdir(run_folder)

@@ -73,7 +73,7 @@ class ValOpts:
     clip_fusion_type = None
     clip_fusion_method = None
     batch_item = defs.batch_item.default
-    quantize = None                 # "int8": w8a8 serving forward
+    quantize = None                 # "int8"/"int8_static": w8a8 serving
     use_ema = False                 # evaluate the EMA weights
 
 
@@ -556,9 +556,10 @@ class Settings:
             va.clip_fusion_method = defs.check(clip_fusion[1],
                                                defs.fusion_method)
         quant = obj.get("quantize")
-        if quant not in (None, "None", "int8"):
-            error("val quantize must be 'int8' (w8a8 serving "
-                  "forward), got %r" % quant)
+        if quant not in (None, "None", "int8", "int8_static"):
+            error("val quantize must be 'int8' (dynamic activation "
+                  "scales) or 'int8_static' (scales calibrated on the "
+                  "first eval batch), got %r" % quant)
         va.quantize = None if quant in (None, "None") else quant
         va.use_ema = bool(obj.get("use_ema", False))
         return va

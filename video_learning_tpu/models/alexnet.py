@@ -321,24 +321,86 @@ def apply_int8(params, x, final_layer="prob", compute_dtype=None):
     return fc_apply_int8(params["fc8"], x)
 
 
-def quantize_params(params):
+def apply_calib(params, x, final_layer="prob", compute_dtype=None):
+    """Calibration forward for STATIC int8 activation scales: the plain
+    float forward (same stages as apply(); the opt-in conv1 training
+    variants are irrelevant on this serving-only path), additionally
+    returning {layer: amax(|input|)} float32 scalars at every
+    int8-eligible layer input — exactly the tensors apply_int8 would
+    dynamically reduce per batch.  quantize_params(act_ranges=taps)
+    converts these ranges into baked "xs" scales so the serving forward
+    carries no activation reductions (layers.quantize_static).
+    Returns (output_at_final_layer, taps)."""
+    if final_layer is None:
+        final_layer = "prob"
+    taps = {}
+
+    def tap(name, inp):
+        taps[name] = jnp.max(jnp.abs(inp.astype(jnp.float32)))
+        return inp
+
+    def conv(name, inp):
+        _, _, _, _, stride, groups = _CONV_SPECS[name]
+        return conv_apply(params[name], tap(name, inp), (stride, stride),
+                          "SAME", groups=groups, relu=True,
+                          compute_dtype=compute_dtype)
+
+    x = conv_apply(params["conv1"], x, (4, 4), "SAME", groups=1,
+                   relu=True, compute_dtype=compute_dtype)
+    x = local_response_normalization(x)
+    x = max_pool(x, (3, 3), (2, 2), "VALID")
+    x = conv("conv2", x)
+    x = local_response_normalization(x)
+    x = max_pool(x, (3, 3), (2, 2), "VALID")
+    x = conv("conv3", x)
+    x = conv("conv4", x)
+    x = conv("conv5", x)
+    x = max_pool(x, (3, 3), (2, 2), "VALID")
+    x = x.reshape(x.shape[0], flat_dim(x.shape[1:]))
+
+    x = jax.nn.relu(fc_apply(params["fc6"], tap("fc6", x), compute_dtype))
+    if final_layer == "fc6":
+        return x, taps
+    x = jax.nn.relu(fc_apply(params["fc7"], tap("fc7", x), compute_dtype))
+    if final_layer == "fc7":
+        return x, taps
+    return fc_apply(params["fc8"], tap("fc8", x), compute_dtype), taps
+
+
+def quantize_params(params, act_ranges=None):
     """Pre-quantize the int8-eligible layers ONCE per restored checkpoint:
     conv2..conv5 / fc6..fc8 entries become {"wq", "ws", "b"}; conv1 (and
     any absent truncated layers) pass through untouched.  apply_int8
     consumes either form, but the serving loop should feed this one — an
     in-graph weight quantize would otherwise re-run on every batch of
     every eval (jit caches the trace, not loop-invariant work across
-    calls)."""
+    calls).
+
+    ``act_ranges`` ({layer: amax} from apply_calib over calibration
+    batches) additionally bakes STATIC activation scales "xs" into each
+    entry, removing the per-batch amax reductions from the serving
+    forward (quantize: int8_static)."""
     from video_learning_tpu.models.layers import quantize_sym
     out = dict(params)
+
+    def entry(name, wq, ws):
+        e = {"wq": wq, "ws": ws, "b": out[name]["b"]}
+        if act_ranges is not None:
+            if name not in act_ranges:
+                error("Calibration ranges missing layer [%s] — taps %s"
+                      % (name, sorted(act_ranges)))
+            amax = jnp.asarray(act_ranges[name], jnp.float32)
+            e["xs"] = amax / 127.0 + 1e-12
+        return e
+
     for name in ("conv2", "conv3", "conv4", "conv5"):
         if name in out:
             wq, ws = quantize_sym(out[name]["w"], axes=(0, 1, 2))
-            out[name] = {"wq": wq, "ws": ws, "b": out[name]["b"]}
+            out[name] = entry(name, wq, ws)
     for name in ("fc6", "fc7", "fc8"):
         if name in out:
             wq, ws = quantize_sym(out[name]["w"], axes=(0,))
-            out[name] = {"wq": wq, "ws": ws, "b": out[name]["b"]}
+            out[name] = entry(name, wq, ws)
     return out
 
 

@@ -198,6 +198,18 @@ def quantize_sym(x, axes):
     return q, scale
 
 
+def quantize_static(x, scale):
+    """int8 quantization against a CALIBRATED static scale: purely
+    elementwise (no amax reduction), so XLA fuses it into the producing
+    layer's epilogue — the dynamic path's reduction forces an extra HBM
+    read pass over the activation before the contraction can start.
+    Out-of-calibration-range activations saturate at +-127 (standard PTQ
+    semantics)."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def conv_apply_int8(params, x, strides, padding, groups=1, relu=True,
                     out_dtype=jnp.bfloat16):
     """w8a8 post-training-quantized conv for the forward-only serving
@@ -211,13 +223,18 @@ def conv_apply_int8(params, x, strides, padding, groups=1, relu=True,
     in-graph — fine for one-shot tests/dryruns) or a pre-quantized
     {"wq", "ws", "b"} entry from alexnet.quantize_params (the serving
     path: weights quantized once per restored checkpoint, not once per
-    batch)."""
+    batch).  A calibrated static activation scale ``xs`` (from
+    alexnet.quantize_params(act_ranges=...)) replaces the dynamic
+    per-batch amax — see quantize_static."""
     b = params["b"]
     if "wq" in params:
         wq, ws = params["wq"], params["ws"]       # (1, 1, 1, Cout)
     else:
         wq, ws = quantize_sym(params["w"], axes=(0, 1, 2))
-    xq, xs = quantize_sym(x, axes=None)
+    if "xs" in params:
+        xq, xs = quantize_static(x, params["xs"])
+    else:
+        xq, xs = quantize_sym(x, axes=None)
     acc = jax.lax.conv_general_dilated(
         xq, wq, window_strides=tuple(strides), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -233,13 +250,17 @@ def conv_apply_int8(params, x, strides, padding, groups=1, relu=True,
 def fc_apply_int8(params, x):
     """w8a8 dense counterpart of fc_apply (per-output-column weight
     scales); returns float32 like fc_apply.  Accepts raw {"w", "b"} or
-    pre-quantized {"wq", "ws", "b"} entries like conv_apply_int8."""
+    pre-quantized {"wq", "ws", "b"} entries like conv_apply_int8, with
+    the same optional calibrated static activation scale "xs"."""
     b = params["b"]
     if "wq" in params:
         wq, ws = params["wq"], params["ws"]       # (1, out_dim)
     else:
         wq, ws = quantize_sym(params["w"], axes=(0,))
-    xq, xs = quantize_sym(x, axes=None)
+    if "xs" in params:
+        xq, xs = quantize_static(x, params["xs"])
+    else:
+        xq, xs = quantize_sym(x, axes=None)
     acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * (xs * ws) + b.astype(jnp.float32)

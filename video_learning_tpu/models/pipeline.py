@@ -273,13 +273,17 @@ class Model:
     def get_ignorable_variable_names(self):
         return list(self._ignorables)
 
-    def quantize_params(self, params):
+    def quantize_params(self, params, act_ranges=None):
         """Pre-quantize every int8-capable frame encoder's weights ONCE
         per restored checkpoint (serving path; layers.conv_apply_int8
         documents why in-graph weight quantization would re-run per
         batch).  Pipelines whose representation has no int8 path keep
         their params untouched; if NO pipeline quantizes, warns loudly —
-        the forward then runs fully unquantized."""
+        the forward then runs fully unquantized.
+
+        ``act_ranges`` ({pipeline_name: {layer: amax}} from
+        calibration_ranges) additionally bakes static activation scales
+        into each encoder (quantize: int8_static)."""
         out = dict(params)
         quantized = 0
         for spec in self.specs:
@@ -290,7 +294,8 @@ class Model:
             vp = sub.get(vec.param_key)
             if vp is None:
                 continue
-            qp = vec.quantize_params(vp)
+            ranges = (act_ranges or {}).get(spec["name"])
+            qp = vec.quantize_params(vp, act_ranges=ranges)
             if qp is not None:
                 sub = dict(sub)
                 sub[vec.param_key] = qp
@@ -304,16 +309,24 @@ class Model:
 
     # --------------------------------------------------------------- apply
     def apply(self, params, feed, train=False, dropout_rng=None,
-              decode=False, quantize=None):
+              decode=False, quantize=None, calib_taps=None):
         """Run the full DAG.  feed: {input_key: array}.  Returns logits —
         (num_items, num_classes) for classification, (B*T, num_classes) for
         caption training, (B, T) int32 indices when decode=True.
-        quantize="int8" selects the w8a8 serving forward for the frame
-        encoders (forward-only; rejected in training)."""
+        quantize="int8"/"int8_static" selects the w8a8 serving forward for
+        the frame encoders (forward-only; rejected in training).
+
+        ``calib_taps``: pass a dict to run the FLOAT forward while
+        collecting {pipeline_name: {layer: amax}} activation ranges from
+        every int8-capable frame encoder — the calibration pass for
+        static int8 scales (quantize_params(act_ranges=...))."""
         if quantize is not None and train:
             error("quantize=%s is a serving (forward-only) mode; "
                   "training gradients through int8 rounding are zero"
                   % quantize)
+        if calib_taps is not None and quantize is not None:
+            error("calibration runs the float forward; it cannot be "
+                  "combined with quantize=%s" % quantize)
         outputs = {}
         logits = None
         for i, spec in enumerate(self.specs):
@@ -323,12 +336,12 @@ class Model:
                 if dropout_rng is not None else None
             logits = self._apply_pipeline(params[spec["name"]], spec, feed,
                                           outputs, train, rng_i, decode,
-                                          quantize)
+                                          quantize, calib_taps)
             outputs[spec["name"]] = logits
         return logits
 
     def _apply_pipeline(self, p, spec, feed, outputs, train, dropout_rng,
-                        decode, quantize=None):
+                        decode, quantize=None, calib_taps=None):
         net, name = spec["net"], spec["name"]
         inputs, dims, fpcs, cpvs = [], [], [], []
         for src in spec["sources"]:
@@ -358,15 +371,24 @@ class Model:
         # or f32 from host paths; the wrappers cast as needed)
         vec = spec["vectorizer"]
 
-        def vec_fn(vp, inp):
-            return vec.apply(vp, inp, compute_dtype=self.compute_dtype,
-                             quant=quantize)
-        if vec.supports_remat and getattr(self.settings, "remat", False):
-            # rematerialize the frame encoder's activations in the
-            # backward pass: trades FLOPs for HBM, enabling larger
-            # frame batches (jax.checkpoint)
-            vec_fn = jax.checkpoint(vec_fn)
-        x = vec_fn(p.get(vec.param_key), x)
+        if calib_taps is not None and \
+                (res := vec.apply_calib(p.get(vec.param_key), x,
+                                        compute_dtype=self.compute_dtype)) \
+                is not None:
+            # static-int8 calibration pass: float encoder forward plus
+            # {layer: amax} activation-range taps for this pipeline
+            x, calib_taps[name] = res
+        else:
+            def vec_fn(vp, inp):
+                return vec.apply(vp, inp, compute_dtype=self.compute_dtype,
+                                 quant=quantize)
+            if vec.supports_remat and getattr(self.settings, "remat",
+                                              False):
+                # rematerialize the frame encoder's activations in the
+                # backward pass: trades FLOPs for HBM, enabling larger
+                # frame batches (jax.checkpoint)
+                vec_fn = jax.checkpoint(vec_fn)
+            x = vec_fn(p.get(vec.param_key), x)
         dim = int(x.shape[-1])
         if self.settings.print_tensors:
             x = print_tensor(x, "Vectorized output [%s]" % name)

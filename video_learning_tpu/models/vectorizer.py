@@ -56,10 +56,18 @@ class Vectorizer:
     def init(self, rng, input_shape):
         return None
 
-    def quantize_params(self, params):
+    def quantize_params(self, params, act_ranges=None):
         """Pre-quantized (int8 serving) form of this vectorizer's params,
         or None when the strategy has no int8 path (quantization is then
-        skipped for the pipeline and Model.quantize_params warns)."""
+        skipped for the pipeline and Model.quantize_params warns).
+        ``act_ranges`` ({layer: amax} from apply_calib) bakes static
+        activation scales for the int8_static mode."""
+        return None
+
+    def apply_calib(self, params, x, compute_dtype=None):
+        """Float forward + activation-range taps for static int8
+        calibration, or None when the strategy has no int8 path (the
+        pipeline then runs the plain apply and calibrates nothing)."""
         return None
 
     def output_dim(self, in_dim):
@@ -113,16 +121,23 @@ class DCNN(Vectorizer):
 
     def apply(self, params, x, compute_dtype=None, quant=None):
         self.require_input(x.shape, 3)
-        if quant == "int8":
-            # forward-only serving path (val/infer with quantize: int8);
-            # params may be raw or pre-quantized (alexnet.quantize_params)
+        if quant in ("int8", "int8_static"):
+            # forward-only serving path (val/infer with quantize: int8 /
+            # int8_static); params may be raw or pre-quantized
+            # (alexnet.quantize_params — static scales ride in the params
+            # as "xs" entries, so both modes share one forward)
             return alexnet.apply_int8(params, x, self.frame_encoding_layer,
                                       compute_dtype=compute_dtype)
         return alexnet.apply(params, x, self.frame_encoding_layer,
                              compute_dtype=compute_dtype)
 
-    def quantize_params(self, params):
-        return alexnet.quantize_params(params)
+    def quantize_params(self, params, act_ranges=None):
+        return alexnet.quantize_params(params, act_ranges=act_ranges)
+
+    def apply_calib(self, params, x, compute_dtype=None):
+        self.require_input(x.shape, 3)
+        return alexnet.apply_calib(params, x, self.frame_encoding_layer,
+                                   compute_dtype=compute_dtype)
 
 
 class FC(Vectorizer):

@@ -52,7 +52,8 @@ import zipfile
 
 import numpy as np
 
-from video_learning_tpu.utils import ensure_console_logging, error, info
+from video_learning_tpu.utils import (ensure_console_logging, error, info,
+                                      warning)
 
 _FORWARD_NAME = "forward.bin"
 _META_NAME = "meta.json"
@@ -159,6 +160,11 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
                                   batch_size=batch_items, int8=int8,
                                   use_ema=use_ema)
         is_caption = model.caption_dataset is not None
+        if int8 == "static":
+            warning("int8-static export calibrates activation scales on "
+                    "the synthetic signature batch; for production-"
+                    "fidelity scales validate with tools/infer "
+                    "--int8-static on representative media")
 
         # one REAL batch through the production chain fixes the
         # exported signature (shapes, dtypes, key order)
@@ -245,7 +251,8 @@ def export(config_file, out, checkpoint="latest", batch_items=None,
             "buckets": [int(b) for b in buckets],
             "frames_per_clip": int(use_fpc or 1),
             "clips_per_item": int(cpv or t_cpv or 1),
-            "quantize": "int8" if int8 else None,
+            "quantize": (("int8_static" if int8 == "static" else "int8")
+                         if int8 else None),
             "ema": bool(getattr(settings, "serving_ema", False)),
             "mesh": ({"data": int(val.mesh.shape["data"]),
                       "model": int(val.mesh.shape["model"])}
@@ -436,6 +443,10 @@ def main(argv=None):
     parser.add_argument("--cpv", type=int, help="clips per item")
     parser.add_argument("--int8", action="store_true",
                         help="bake the w8a8-quantized serving forward")
+    parser.add_argument("--int8-static", action="store_true",
+                        help="int8 with static activation scales "
+                             "calibrated on the export signature batch "
+                             "(no per-batch amax in the artifact)")
     parser.add_argument("--ema", action="store_true",
                         help="bake the EMA shadow weights from an "
                              "ema_decay training run")
@@ -466,9 +477,10 @@ def main(argv=None):
               % args.batch_items)
     if len(batch_items) == 1:
         batch_items = batch_items[0]
+    int8 = "static" if args.int8_static else args.int8
     meta = export(args.config, args.out, checkpoint=args.checkpoint,
                   batch_items=batch_items, fpc=args.fpc,
-                  cpv=args.cpv, workdir=args.workdir, int8=args.int8,
+                  cpv=args.cpv, workdir=args.workdir, int8=int8,
                   platforms=args.platforms, mesh_shape=mesh_shape,
                   use_ema=args.ema)
     if args.selftest:

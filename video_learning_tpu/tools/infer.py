@@ -249,8 +249,11 @@ def build_serving_context(config_file, media, checkpoint="latest",
     val_cfg.setdefault("batch_size", 8)
     if int8:
         # w8a8 serving forward for the frame encoders (models/layers
-        # conv_apply_int8; int8 MXU runs at 2x the bf16 peak on v5e)
-        val_cfg["quantize"] = "int8"
+        # conv_apply_int8; int8 MXU runs at 2x the bf16 peak on v5e).
+        # int8="static" calibrates static activation scales on the first
+        # batch instead of reducing an amax per batch (val.py)
+        val_cfg["quantize"] = "int8_static" if int8 == "static" \
+            else "int8"
     if use_ema:
         val_cfg["use_ema"] = True
     if kind == "video" and not val_cfg.get("clip_fusion"):
@@ -398,13 +401,18 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="w8a8-quantize the frame encoders (serving "
                              "PTQ; int8 MXU at 2x bf16 peak)")
+    parser.add_argument("--int8-static", action="store_true",
+                        help="int8 with static activation scales "
+                             "calibrated on the first batch (no "
+                             "per-batch amax reductions)")
     parser.add_argument("--ema", action="store_true",
                         help="serve the EMA shadow weights from an "
                              "ema_decay training run")
     args = parser.parse_args(argv)
+    int8 = "static" if args.int8_static else args.int8
     return infer(args.config, args.media, args.checkpoint, args.topk,
                  args.classes, args.fpc, args.cpv, args.out, args.workdir,
-                 args.batch_size, int8=args.int8, use_ema=args.ema)
+                 args.batch_size, int8=int8, use_ema=args.ema)
 
 
 if __name__ == "__main__":

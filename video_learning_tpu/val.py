@@ -142,18 +142,65 @@ class Validation:
             self._row_maps[n_local] = rows
         return rows
 
-    def _maybe_quantize(self, params):
+    def _calibration_ranges(self, params, feed, decode=False):
+        """One float forward over ``feed`` (the first eval batch) with
+        activation-range taps at every int8-eligible encoder layer —
+        the per-layer amax values that int8_static bakes into static
+        scales.  Runs the SAME preprocessing + DAG as the serving
+        forward so the taps see exactly the serving activations.
+
+        Multi-controller note: each host calibrates on its own local
+        first batch; val datasets are not host-sharded (every host walks
+        the full set), so the ranges — and therefore the quantized
+        params — are identical across hosts."""
+        pre = self._preprocessors
+        model = self.model
+
+        def calib(params, feed):
+            feed = dict(feed)
+            for key, p in pre.items():
+                pkey = key + "/proc_params"
+                if pkey in feed:        # build_serving_fn sample feeds may
+                    feed[key] = p(feed[key], feed.pop(pkey))  # omit these
+            taps = {}
+            model.apply(params, feed, train=False, decode=decode,
+                        calib_taps=taps)
+            return taps
+
+        taps = jax.device_get(jax.jit(calib)(params, feed))
+        if not taps:
+            error("int8_static calibration collected no activation "
+                  "ranges — no pipeline has an int8-capable frame "
+                  "encoder (DCNN)")
+        info("int8_static calibration ranges: %s"
+             % {p: {k: float(v) for k, v in t.items()}
+                for p, t in taps.items()})
+        return taps
+
+    def _maybe_quantize(self, params, feed=None, decode=False):
         """Pre-quantize the int8-eligible encoder weights ONCE per params
         CONTENT (same identity-cache rules as the shard cache below) —
         an in-graph weight quantize would re-run every batch since each
-        forward(params, feed) call re-executes the whole trace."""
-        if not getattr(self.settings.val, "quantize", None):
+        forward(params, feed) call re-executes the whole trace.  In
+        int8_static mode the first call additionally runs a calibration
+        forward over ``feed`` (the first eval batch) to bake static
+        activation scales."""
+        mode = getattr(self.settings.val, "quantize", None)
+        if not mode:
             return params
         leaves = jax.tree_util.tree_leaves(params)
         leaf0 = leaves[0] if leaves else None
         if params is not self._q_src_params or \
                 leaf0 is not self._q_src_leaf0:
-            quantized = self.model.quantize_params(params)
+            ranges = None
+            if mode == "int8_static":
+                if feed is None:
+                    error("quantize: int8_static requires a calibration "
+                          "batch; this entry point quantizes without one "
+                          "— use 'int8' (dynamic scales) here")
+                ranges = self._calibration_ranges(params, feed, decode)
+            quantized = self.model.quantize_params(params,
+                                                   act_ranges=ranges)
             self._q_params = quantized
             self._q_src_params = params
             self._q_src_leaf0 = leaf0
@@ -180,7 +227,7 @@ class Validation:
         key of positional input i, specs[i] its jax.ShapeDtypeStruct."""
         pre = self._preprocessors
         quantize = getattr(self.settings.val, "quantize", None)
-        params = self._maybe_quantize(params)
+        params = self._maybe_quantize(params, sample_feed, decode)
         model = self.model
         names = []
         for key, itype, tag in model.required_input:
@@ -209,7 +256,7 @@ class Validation:
 
     def run_forward(self, params, feed, decode=False):
         fn = self._decode if decode else self._forward
-        params = self._maybe_quantize(params)
+        params = self._maybe_quantize(params, feed, decode)
         if self.mesh.size > 1:
             # shard once per params CONTENT (do_test passes the same tree
             # every batch).  The cache compares OBJECT IDENTITY of the
