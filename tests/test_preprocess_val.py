@@ -11,6 +11,7 @@ from video_learning_tpu.data import records
 from video_learning_tpu.data.dataset import Dataset
 from video_learning_tpu.data.imgproc import ImageProcessor
 from video_learning_tpu.defs import defs
+from video_learning_tpu.utils import FrameworkError
 from video_learning_tpu.ops.preprocess import make_preprocessor, \
     supports_device_path
 
@@ -224,3 +225,53 @@ def test_val_chunked_persistence(tmp_path):
     assert val.validation_logits_save_counter == 3
     acc = val.get_accuracy()
     assert acc == pytest.approx(1.0)
+
+
+def test_val_top_k_accuracy(tmp_path):
+    """get_accuracy(k): true class among the k highest logits.  Rows are
+    built so top-1 = 1/3, top-2 = 2/3, top-3 rejected (k must be <
+    num_classes); the k>1 path also replays persisted chunks."""
+    val, settings, dset = _val_with_dataset(defs.batch_item.default, [1])
+    settings.run_folder = str(tmp_path)
+    val.run_folder = str(tmp_path)
+    rows = [
+        ([9.0, 1.0, 0.0], 0),   # top-1 hit
+        ([5.0, 4.0, 0.0], 1),   # top-2 hit only
+        ([7.0, 6.0, 1.0], 2),   # miss even at top-2
+    ]
+    for logits, cls in rows:
+        val.add_item_logits_labels(np.asarray(logits, np.float32),
+                                   np.eye(3, dtype=np.float32)[cls])
+    assert val.get_accuracy() == pytest.approx(1 / 3)
+    assert val.get_accuracy(2) == pytest.approx(2 / 3)
+    with pytest.raises(FrameworkError, match="top_k"):
+        val.get_accuracy(3)
+
+    # chunk replay: the k>1 path reads persisted chunks too.  Accuracy
+    # is the reference's mean-over-chunks (val.py:174-198), so with a
+    # 2-row chunk + 1-row tail: top-1 = mean(0.5, 0) and
+    # top-2 = mean(1.0, 0)
+    val2, settings2, _ = _val_with_dataset(defs.batch_item.default, [1])
+    settings2.run_folder = str(tmp_path)
+    val2.run_folder = str(tmp_path)
+    val2.validation_logits_save_interval = 2
+    for logits, cls in rows:
+        val2.add_item_logits_labels(np.asarray(logits, np.float32),
+                                    np.eye(3, dtype=np.float32)[cls])
+        val2.save_validation_logits_chunk()
+    assert val2.validation_logits_save_counter == 1
+    assert val2.get_accuracy() == pytest.approx(0.25)
+    assert val2.get_accuracy(2) == pytest.approx(0.5)
+
+
+def test_val_top_k_config_parse():
+    """val: top_k parses scalars and lists, rejects k < 2 and garbage."""
+    from video_learning_tpu.config import Settings
+    read = Settings._read_val_opts
+    assert read({"batch_size": 1, "top_k": 5}).top_k == [5]
+    assert read({"batch_size": 1, "top_k": "[3, 5]"}).top_k == [3, 5]
+    assert read({"batch_size": 1}).top_k is None
+    with pytest.raises(FrameworkError, match="top_k"):
+        read({"batch_size": 1, "top_k": 1})
+    with pytest.raises(FrameworkError, match="top_k"):
+        read({"batch_size": 1, "top_k": "five"})

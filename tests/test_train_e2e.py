@@ -243,13 +243,19 @@ def test_validate_quantized_int8(packed_tree, mode):
     vcfg, _ = _run_config(tmp_path, tree, "val", resume="latest")
     docs = yaml.safe_load(vcfg.read_text())
     docs["run"]["val"]["quantize"] = mode
+    docs["run"]["val"]["top_k"] = 2     # exercise top-k reporting too
     vcfg2 = tmp_path / ("val_%s.yml" % mode)
     vcfg2.write_text(yaml.safe_dump(docs))
     run_task.main(str(vcfg2))
     accf = [f for f in os.listdir(run_folder)
-            if f.startswith("accuracy_")][0]
+            if f.startswith("accuracy_") and "top" not in f][0]
     acc = float((run_folder / accf).read_text())
     assert 0.0 <= acc <= 1.0
+    topf = [f for f in os.listdir(run_folder)
+            if f.startswith("accuracy_top2_")][0]
+    acc2 = float((run_folder / topf).read_text())
+    # top-2 can never be below top-1
+    assert acc <= acc2 <= 1.0
 
 
 def test_preemption_sigterm_saves_and_resumes(packed_tree, monkeypatch):

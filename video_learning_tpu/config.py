@@ -75,6 +75,7 @@ class ValOpts:
     batch_item = defs.batch_item.default
     quantize = None                 # "int8"/"int8_static": w8a8 serving
     use_ema = False                 # evaluate the EMA weights
+    top_k = None                    # extra top-k accuracies, e.g. [5]
 
 
 class CaptionOpts:
@@ -562,6 +563,18 @@ class Settings:
                   "first eval batch), got %r" % quant)
         va.quantize = None if quant in (None, "None") else quant
         va.use_ema = bool(obj.get("use_ema", False))
+        # extra top-k accuracy reporting (top-1 is always computed); a
+        # scalar or list of ints, e.g. top_k: 5 or top_k: [3, 5]
+        tk = parse_seq(obj.get("top_k"))
+        if tk is not None:
+            try:
+                va.top_k = sorted({int(k) for k in tk})
+            except (TypeError, ValueError):
+                error("val top_k must be an int or list of ints, got %r"
+                      % obj.get("top_k"))
+            if any(k < 2 for k in va.top_k):
+                error("val top_k entries must be >= 2 (top-1 is always "
+                      "reported), got %s" % (va.top_k,))
         return va
 
     # ------------------------------------------------------- orchestration

@@ -363,6 +363,12 @@ def do_test(settings, val, params, feeder, model, writer):
         accuracy = val.get_accuracy()
         info("Validation run complete in [%s], accuracy: %2.5f"
              % (elapsed_str(tic), accuracy))
+        # extra top-k accuracies (val: top_k) — top-1 stays the primary
+        # artifact for reference compatibility
+        topk_accs = {}
+        for k in (settings.val.top_k or []):
+            topk_accs[k] = val.get_accuracy(k)
+            info("Top-%d accuracy: %2.5f" % (k, topk_accs[k]))
         if val.validation_logits_save_interval is not None and \
                 jax.process_index() == 0:  # shared run folder: one writer
             import os
@@ -370,6 +376,12 @@ def do_test(settings, val, params, feeder, model, writer):
                                    "accuracy_" + settings.run_id),
                       "w") as f:
                 f.write(str(accuracy))
+            for k, acc in topk_accs.items():
+                with open(os.path.join(
+                        settings.run_folder,
+                        "accuracy_top%d_%s" % (k, settings.run_id)),
+                          "w") as f:
+                    f.write(str(acc))
     writer.flush()
     return accuracy
 

@@ -432,28 +432,38 @@ class Validation:
         self._q_src_leaf0 = None
         self._q_params = None
 
-    def get_accuracy(self):
+    def get_accuracy(self, k=1):
         """Mean accuracy over saved chunks + the live tail
-        (val.py:174-198)."""
+        (val.py:174-198).  ``k`` > 1 reports top-k accuracy (the true
+        class anywhere in the k highest logits) — a TPU-native addition;
+        the reference computes top-1 only."""
         accuracies = []
         curr = 0
         for idx in range(self.validation_logits_save_counter):
             logits = self.load_validation_logits_chunk(idx)
             size = len(logits)
             labels = self.item_labels[curr:curr + size, :]
-            accuracies.append(self.get_chunk_accuracy(logits, labels))
+            accuracies.append(self.get_chunk_accuracy(logits, labels, k))
             curr += size
         if len(self.item_logits) > 0:
             size = len(self.item_logits)
             labels = self.item_labels[curr:curr + size, :]
             accuracies.append(self.get_chunk_accuracy(self.item_logits,
-                                                      labels))
+                                                      labels, k))
         return float(np.mean(accuracies))
 
-    def get_chunk_accuracy(self, logits, labels):
-        pred = np.argmax(logits, axis=1)
+    def get_chunk_accuracy(self, logits, labels, k=1):
+        logits = np.asarray(logits)
         ref = np.argmax(labels, axis=1)
-        return np.mean(np.equal(pred, ref))
+        if k <= 1:
+            pred = np.argmax(logits, axis=1)
+            return np.mean(np.equal(pred, ref))
+        if k >= logits.shape[1]:
+            error("top_k=%d needs more than %d classes"
+                  % (k, logits.shape[1]))
+        # membership of the true class among the k highest logits
+        topk = np.argpartition(-logits, k - 1, axis=1)[:, :k]
+        return np.mean(np.any(topk == ref[:, None], axis=1))
 
     # --------------------------------------------------------- captioning
     def process_description(self, settings, caption_rows=None):
