@@ -280,6 +280,47 @@ def test_metrics_endpoint(served_artifact):
     assert after['vlx_device_calls_total{bucket="2"}'] >= 1
 
 
+def test_concurrent_stress_mixed_item_counts(served_artifact):
+    """Sustained concurrent load with RANDOM item counts: every response
+    must carry exactly its own rows (no cross-request bleed under
+    coalescing / overflow re-queueing), and the items counter must add
+    up.  This is the failure mode a micro-batcher can silently get
+    wrong: misaligned row splits return plausible-looking but foreign
+    logits."""
+    module, conn, started = served_artifact
+    capacity = int(module.meta["batch_items"])
+    n_threads, reqs_per_thread = 6, 4
+    results = [[] for _ in range(n_threads)]
+    expected = [[] for _ in range(n_threads)]
+
+    def client(tid):
+        rng = np.random.RandomState(1000 + tid)
+        for r in range(reqs_per_thread):
+            k = int(rng.randint(1, capacity + 1))
+            arrays = _items(module, k, seed=tid * 97 + r)
+            expected[tid].append(module(*arrays))
+            buf = io.BytesIO()
+            np.savez(buf, **{s["name"]: a for s, a in
+                             zip(module.meta["inputs"], arrays)})
+            status, body = _post(conn, buf.getvalue(),
+                                 "application/x-npz")
+            assert status == 200, body
+            results[tid].append(
+                np.asarray(json.loads(body)["outputs"]))
+
+    threads = [threading.Thread(target=client, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive(), "stress client hung"
+    for tid in range(n_threads):
+        assert len(results[tid]) == reqs_per_thread
+        for got, want in zip(results[tid], expected[tid]):
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_sigterm_drains_server(tmp_path):
     """SIGTERM stops the accept loop and serve() returns after draining
     (the deployment-side preemption story)."""

@@ -129,6 +129,10 @@ def test_train_and_validate_e2e(packed_tree):
     assert all(np.isfinite(l["loss"]) for l in lines)
     assert lines[0]["lr"] == pytest.approx(0.01)
     assert lines[-1]["lr"] < 0.01  # decayed
+    # e2e throughput streams per step from the SECOND step on (the
+    # first absorbs the compile and has no predecessor clock)
+    assert "clips_per_sec" not in lines[0]
+    assert all(l["clips_per_sec"] > 0 for l in lines[1:])
 
     # ---- validation run resuming the final checkpoint
     vcfg, vrun = _run_config(tmp_path, tree, "val", resume="latest")

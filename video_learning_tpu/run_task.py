@@ -180,6 +180,7 @@ def do_train(settings, engine, feeder, model, writer):
         best_acc, stale_evals = _load_eval_state(settings)
     preempt, restore_handler = _install_preempt_handler()
     preempted = False
+    step_tic = None     # e2e throughput clock (clips/s in the metrics)
     profiler = None
     if getattr(settings, "profile_steps", None):
         from video_learning_tpu.observe import StepProfiler
@@ -212,13 +213,27 @@ def do_train(settings, engine, feeder, model, writer):
                 settings.global_step = engine.global_step
                 if profiler:
                     profiler.maybe_stop(engine.global_step)
+                # end-to-end throughput (host input + transfer + device
+                # step, prefetch overlap included): wall time between
+                # consecutive completed steps.  The first step has no
+                # predecessor (and absorbs the jit compile), so it
+                # reports none — the reference's north-star metric
+                # (clips/sec/chip) streamed per step instead of only
+                # measured offline by bench.py
+                now = time.monotonic()
+                if step_tic is not None:
+                    metrics["clips_per_sec"] = round(
+                        len(feed["labels"]) / max(now - step_tic, 1e-9), 2)
+                step_tic = now
                 if metrics["loss"] < min_train_loss[0]:
                     min_train_loss = (metrics["loss"], engine.global_step)
                 nats = metrics["loss"] / math.log(settings.num_classes)
                 info("Learning rate %2.8f, global step: %d, batch "
-                     "loss/nats : %2.5f / %2.3f"
+                     "loss/nats : %2.5f / %2.3f%s"
                      % (metrics["lr"], engine.global_step,
-                        metrics["loss"], nats))
+                        metrics["loss"], nats,
+                        (", clips/s: %2.1f" % metrics["clips_per_sec"])
+                        if "clips_per_sec" in metrics else ""))
                 writer.write(engine.global_step, **metrics)
                 saved_this_batch = feeder.should_save(run_batch_count)
                 if saved_this_batch:
@@ -272,6 +287,7 @@ def do_train(settings, engine, feeder, model, writer):
                                                          model)
                 acc = run_inline_eval(settings, inline_val,
                                       engine.eval_params(), feeder, model)
+                step_tic = None   # eval time is not training throughput
                 info("Inline validation after epoch %d: accuracy %2.5f"
                      % (settings.train.epoch_index, acc))
                 writer.write(engine.global_step, val_accuracy=acc)
