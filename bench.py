@@ -294,6 +294,24 @@ def run_e2e(args):
 CPU_EVAL_BASELINE_CLIPS_PER_SEC = 2.639
 
 
+def _calib_ranges(model, pre, params, prms_dev, raw_dev):
+    """int8_static activation ranges at the bench geometry: one float
+    forward with calibration taps (the same contract as production's
+    val._calibration_ranges — pre + model.apply(calib_taps) -> taps).
+    Shared by run_eval and run_latency so the bench can never measure a
+    different calibration than serving."""
+    import jax
+
+    def calib(params, prms_, frames):
+        x = pre(frames, prms_)
+        taps = {}
+        model.apply(params, {"frames_main_input": x}, train=False,
+                    calib_taps=taps)
+        return taps
+
+    return jax.device_get(jax.jit(calib)(params, prms_dev, raw_dev))
+
+
 def run_eval(args):
     """Serving throughput: forward-only clips/sec (uint8 frames ->
     on-device crop/mean/mirror -> AlexNet fc7 -> LSTM -> logits), the
@@ -359,14 +377,8 @@ def run_eval(args):
     if quantize:
         ranges = None
         if args.int8_static:
-            def calib(params, prms_, frames):
-                x = pre(frames, prms_)
-                taps = {}
-                model.apply(params, {"frames_main_input": x}, train=False,
-                            calib_taps=taps)
-                return taps
-            ranges = jax.device_get(
-                jax.jit(calib)(engine.params, prms_dev, raw_dev))
+            ranges = _calib_ranges(model, pre, engine.params,
+                                   prms_dev, raw_dev)
         fwd_params = model.quantize_params(engine.params,
                                            act_ranges=ranges)
     beat()
@@ -449,14 +461,8 @@ def run_latency(args):
             cprms[:, 0] = rng.randint(0, raw_hw[0] - crop + 1, n)
             cprms[:, 1] = rng.randint(0, raw_hw[1] - crop + 1, n)
 
-            def calib(params, prms_, frames):
-                x = pre(frames, prms_)
-                taps = {}
-                model.apply(params, {"frames_main_input": x}, train=False,
-                            calib_taps=taps)
-                return taps
-            ranges = jax.device_get(jax.jit(calib)(
-                engine.params, jax.device_put(cprms), craw))
+            ranges = _calib_ranges(model, pre, engine.params,
+                                   jax.device_put(cprms), craw)
             beat()
         fwd_params = model.quantize_params(engine.params,
                                            act_ranges=ranges)

@@ -263,6 +263,48 @@ def test_val_top_k_accuracy(tmp_path):
     assert val2.get_accuracy() == pytest.approx(0.25)
     assert val2.get_accuracy(2) == pytest.approx(0.5)
 
+    # get_accuracies computes every k in ONE pass over the chunks: the
+    # values match the per-k calls and each chunk is unpickled once
+    loads = [0]
+    orig = val2.load_validation_logits_chunk
+
+    def counting_load(idx):
+        loads[0] += 1
+        return orig(idx)
+
+    val2.load_validation_logits_chunk = counting_load
+    accs = val2.get_accuracies([1, 2])
+    assert accs[1] == pytest.approx(0.25)
+    assert accs[2] == pytest.approx(0.5)
+    assert loads[0] == val2.validation_logits_save_counter
+
+
+def test_do_test_rejects_oversized_top_k_before_eval():
+    """A top_k >= num_classes must abort BEFORE the eval loop runs, not
+    in the accuracy pass after hours of forward batches."""
+    from video_learning_tpu.run_task import do_test
+
+    class _Boom:
+        def loop(self):
+            raise AssertionError("eval loop ran despite invalid top_k")
+
+    class _Model:
+        caption_dataset = None
+        required_input = []
+
+    class _Val:
+        pass
+
+    class _ValOpts:
+        top_k = [200]
+
+    class _Settings:
+        val = _ValOpts()
+        num_classes = 3
+
+    with pytest.raises(FrameworkError, match="top_k=200"):
+        do_test(_Settings(), _Val(), {}, _Boom(), _Model(), None)
+
 
 def test_val_top_k_config_parse():
     """val: top_k parses scalars and lists, rejects k < 2 and garbage."""

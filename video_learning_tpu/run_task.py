@@ -26,7 +26,7 @@ from video_learning_tpu.defs import defs
 from video_learning_tpu.models.pipeline import Model
 from video_learning_tpu.observe import MetricsWriter
 from video_learning_tpu.train import Train
-from video_learning_tpu.utils import elapsed_str, info, warning
+from video_learning_tpu.utils import elapsed_str, error, info, warning
 from video_learning_tpu.val import Validation
 
 
@@ -243,6 +243,10 @@ def do_train(settings, engine, feeder, model, writer):
                     feeder.save(engine.state_dict(), progress,
                                 engine.global_step,
                                 batch_index=batch_index + 1)
+                    # checkpoint time is not training throughput: restart
+                    # the step clock so the next step's clips/s does not
+                    # absorb the save
+                    step_tic = time.monotonic()
                 if preempt["sig"] is not None:
                     info("Caught signal %d (preemption): saving "
                          "checkpoint and stopping after %d batches this "
@@ -363,6 +367,13 @@ def do_test(settings, val, params, feeder, model, writer):
     geometry = BatchGeometry()
     is_caption = model.caption_dataset is not None
     caption_rows = []
+    top_ks = list(settings.val.top_k or [])
+    for k in top_ks:
+        # fail BEFORE the (potentially hours-long) eval loop, not in the
+        # accuracy pass after it
+        if k >= settings.num_classes:
+            error("val: top_k=%d needs more than %d classes"
+                  % (k, settings.num_classes))
     while feeder.loop():
         feed, batches = feeder.get_feed(required_input)
         feed = _prepare_feed(feed, batches, model)
@@ -376,14 +387,14 @@ def do_test(settings, val, params, feeder, model, writer):
         val.process_description(settings, caption_rows)
     else:
         val.save_validation_logits_chunk(save_all=True)
-        accuracy = val.get_accuracy()
+        accs = val.get_accuracies([1] + top_ks)
+        accuracy = accs[1]
         info("Validation run complete in [%s], accuracy: %2.5f"
              % (elapsed_str(tic), accuracy))
         # extra top-k accuracies (val: top_k) — top-1 stays the primary
         # artifact for reference compatibility
-        topk_accs = {}
-        for k in (settings.val.top_k or []):
-            topk_accs[k] = val.get_accuracy(k)
+        topk_accs = {k: accs[k] for k in top_ks}
+        for k in top_ks:
             info("Top-%d accuracy: %2.5f" % (k, topk_accs[k]))
         if val.validation_logits_save_interval is not None and \
                 jax.process_index() == 0:  # shared run folder: one writer

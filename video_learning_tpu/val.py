@@ -149,10 +149,13 @@ class Validation:
         scales.  Runs the SAME preprocessing + DAG as the serving
         forward so the taps see exactly the serving activations.
 
-        Multi-controller note: each host calibrates on its own local
-        first batch; val datasets are not host-sharded (every host walks
-        the full set), so the ranges — and therefore the quantized
-        params — are identical across hosts."""
+        Runs under the SAME mesh shardings as the real eval forward —
+        an unsharded jit would place the full (mesh-sized) batch and the
+        float params on one device, OOMing exactly the configurations
+        that need the mesh.  Multi-controller note: the taps are
+        replicated outputs of the sharded global first batch, so the
+        ranges — and therefore the quantized params — are identical
+        across hosts."""
         pre = self._preprocessors
         model = self.model
 
@@ -167,7 +170,16 @@ class Validation:
                         calib_taps=taps)
             return taps
 
-        taps = jax.device_get(jax.jit(calib)(params, feed))
+        taps_fn = jax.jit(calib)
+        if self.mesh.size > 1:
+            from video_learning_tpu.parallel import mesh as mesh_mod
+            from video_learning_tpu.parallel.sharding import shard_params
+            params = shard_params(params, self.mesh)
+            feed = mesh_mod.shard_feed(feed, self.mesh,
+                                       self.data_sharding)
+            taps_fn = jax.jit(
+                calib, out_shardings=mesh_mod.replicated(self.mesh))
+        taps = jax.device_get(taps_fn(params, feed))
         if not taps:
             error("int8_static calibration collected no activation "
                   "ranges — no pipeline has an int8-capable frame "
@@ -437,20 +449,30 @@ class Validation:
         (val.py:174-198).  ``k`` > 1 reports top-k accuracy (the true
         class anywhere in the k highest logits) — a TPU-native addition;
         the reference computes top-1 only."""
-        accuracies = []
+        return self.get_accuracies([k])[k]
+
+    def get_accuracies(self, ks):
+        """Accuracies for several ``k`` values in ONE pass over the
+        persisted chunks: each chunk is unpickled once, not once per k
+        (``val: top_k: [3, 5]`` would otherwise repeat the full chunk
+        IO per entry)."""
+        accuracies = {k: [] for k in ks}
+
+        def add(logits, labels):
+            for k in ks:
+                accuracies[k].append(
+                    self.get_chunk_accuracy(logits, labels, k))
+
         curr = 0
         for idx in range(self.validation_logits_save_counter):
             logits = self.load_validation_logits_chunk(idx)
             size = len(logits)
-            labels = self.item_labels[curr:curr + size, :]
-            accuracies.append(self.get_chunk_accuracy(logits, labels, k))
+            add(logits, self.item_labels[curr:curr + size, :])
             curr += size
         if len(self.item_logits) > 0:
             size = len(self.item_logits)
-            labels = self.item_labels[curr:curr + size, :]
-            accuracies.append(self.get_chunk_accuracy(self.item_logits,
-                                                      labels, k))
-        return float(np.mean(accuracies))
+            add(self.item_logits, self.item_labels[curr:curr + size, :])
+        return {k: float(np.mean(accuracies[k])) for k in ks}
 
     def get_chunk_accuracy(self, logits, labels, k=1):
         logits = np.asarray(logits)
