@@ -159,3 +159,71 @@ def test_settings_rejects_undeclared_pipeline_input(tmp_path):
     s = Settings()
     with pytest.raises(FrameworkError):
         s.initialize_from_file(str(p))
+
+
+# Adversarial single-field mutations of the valid template.  The property
+# under test is CRASH TYPE, not rejection: a bad config value must either
+# parse (tolerated / only failing later at build time) or raise
+# FrameworkError with a config-level message — never leak a raw
+# TypeError/ValueError/KeyError from the loader's internals (the
+# reference validates everything through defs.check the same way,
+# settings_.py:152-159).
+ADVERSARIAL_CONFIGS = [
+    ("phase: defs.phase.train", "phase: defs.phase.bogus"),
+    ("phase: defs.phase.train", "phase: defs.optim.sgd"),
+    ("batch_size: 2", "batch_size: potato"),
+    ("batch_size: 2", "batch_size: -3"),
+    ("batch_size: 2", "batch_size:"),
+    ("epochs: 2", "epochs: zero"),
+    ("epochs: 2", "epochs: 0"),
+    ("optimizer: defs.optim.sgd", "optimizer: defs.optim.lion"),
+    ("lr_decay: [defs.decay.exp, defs.periodicity.drops, 4, 0.96]",
+     "lr_decay: [defs.decay.exp]"),
+    ("lr_decay: [defs.decay.exp, defs.periodicity.drops, 4, 0.96]",
+     "lr_decay: [defs.decay.cubic, defs.periodicity.drops, 4, 0.96]"),
+    ("image_shape: (32, 48, 3)", "image_shape: (32, 48)"),
+    ("image_shape: (32, 48, 3)", "image_shape: banana"),
+    ("raw_image_shape: (48, 64, 3)", "raw_image_shape: (8, -2, 3)"),
+    ("mean_image: [99.2, 105.3, 109.5]", "mean_image: [99.2]"),
+    ("mean_image: [99.2, 105.3, 109.5]", "mean_image: bright"),
+    ("imgproc: [defs.imgproc.rand_crop, defs.imgproc.rand_mirror, "
+     "defs.imgproc.sub_mean]", "imgproc: [defs.imgproc.sharpen]"),
+    ("lstm_params: [64, 2, defs.fusion_method.avg]", "lstm_params: [64]"),
+    ("lstm_params: [64, 2, defs.fusion_method.avg]",
+     "lstm_params: [64, 2, defs.fusion_method.bogus]"),
+    ("data_format: defs.data_format.tfrecord",
+     "data_format: defs.data_format.parquet"),
+    ("num_classes: 4", "num_classes: minus"),
+    ("num_classes: 4", "num_classes: 0"),
+    ("tag: defs.dataset_tag.main", "tag: defs.dataset_tag.tertiary"),
+    ("clip_norm: 10", "clip_norm: big"),
+    ("base_lr: 0.05", "base_lr: fast"),
+    ("representation: defs.representation.dcnn",
+     "representation: defs.representation.transformer"),
+    ("classifier: defs.classifier.lstm",
+     "classifier: defs.classifier.svm"),
+    ("dropout_keep_prob: 0.5", "dropout_keep_prob: half"),
+    ("save_freq_per_epoch: 1", "save_freq_per_epoch: never"),
+    ("level: logging.INFO", "level: logging.LOUD"),
+    ("batch_item: defs.batch_item.default",
+     "batch_item: defs.batch_item.video"),
+    ('frame_format: "jpg"', "frame_format: [1, 2]"),
+]
+
+
+@pytest.mark.parametrize("old,new", ADVERSARIAL_CONFIGS,
+                         ids=[n[:48] for _, n in ADVERSARIAL_CONFIGS])
+def test_config_fuzz_failures_are_framework_errors(tmp_path, old, new):
+    from video_learning_tpu.config import Settings
+    cfg_text = CONFIG_TEMPLATE.format(run_folder=tmp_path / "run",
+                                      data_path=tmp_path / "d.train")
+    assert old in cfg_text, "mutation target drifted from the template"
+    cfg_text = cfg_text.replace(old, new, 1)
+    p = tmp_path / "config.yml"
+    p.write_text(cfg_text)
+    try:
+        Settings().initialize_from_file(str(p))
+    except FrameworkError:
+        pass          # rejected with a config-level error: good
+    # a clean parse means the value is tolerated (or validated later at
+    # build time) — also acceptable; any OTHER exception type fails

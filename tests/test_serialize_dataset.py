@@ -151,6 +151,39 @@ def test_processor_params_path_equivalence():
     assert any(p[2] for p in params)  # some mirrors drawn
 
 
+# Adversarial single-field mutations of the serializer config.  Property:
+# a bad value must either be tolerated or raise FrameworkError — never a
+# raw ValueError/TypeError from the loader (same contract as the run
+# config, reference settings_.py:152-159 / serialize.py:49-116).
+SERIALIZE_ADVERSARIAL = [
+    {"num_threads": "many"},
+    {"num_threads": 0},
+    {"num_items_per_thread": "a few"},
+    {"num_processes": -2},
+    {"clip_offset_or_num": "two"},
+    {"num_frames_per_clip": "sixteen"},
+    {"num_frames_per_clip": 0},
+    {"validate_pcnt": "all"},
+    {"seed": "lucky"},
+    {"clipframe_mode": "defs.clipframe_mode.bogus"},
+    {"generation_error": "defs.generation_error.shrug"},
+    {"logging_level": "logging.LOUD"},
+]
+
+
+@pytest.mark.parametrize("mutation", SERIALIZE_ADVERSARIAL,
+                         ids=[str(m) for m in SERIALIZE_ADVERSARIAL])
+def test_serialize_config_fuzz(tmp_path, tiny_image_tree, mutation):
+    from video_learning_tpu.utils import FrameworkError
+    cfg = _serialize_config(tmp_path, [tiny_image_tree], mutation)
+    try:
+        ser.SerializationSettings().initialize_from_file(
+            ["serialize", str(cfg)])
+    except FrameworkError:
+        pass          # config-level rejection: good
+    # tolerated parses are acceptable; any other exception type fails
+
+
 # ----------------------------------------------------------------- dataset
 def _packed_video_dataset(tmp_path, tiny_video_tree, batch_item="default",
                           device_preprocess=False):

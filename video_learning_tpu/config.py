@@ -28,7 +28,8 @@ import yaml
 from video_learning_tpu.defs import defs
 from video_learning_tpu.parse_opts import parse_seq, parse_shape
 from video_learning_tpu.utils import (CustomLogger, error, warning, info,
-                                      debug, get_datetime_str, prep_email)
+                                      debug, get_datetime_str, prep_email,
+                                      as_num as _num)
 
 
 class Network:
@@ -200,8 +201,10 @@ class Settings:
             network.frame_encoding_layer = self.read_field(
                 pipeline_content, "frame_encoding_layer", required=True)
         if network.representation == defs.representation.fc:
-            network.fc_output_dim = int(self.read_field(
-                pipeline_content, "fc_output_dim", required=True))
+            network.fc_output_dim = _num(
+                self.read_field(pipeline_content, "fc_output_dim",
+                                required=True),
+                "fc_output_dim", int, minimum=1)
 
         network.classifier = self.read_field(pipeline_content, "classifier",
                                              validate=defs.classifier)
@@ -209,8 +212,14 @@ class Settings:
             params = self.read_field(pipeline_content, "lstm_params")
             if params is None:
                 error("LSTM classifier requires lstm_params")
-            network.lstm_params = [int(params[0]), int(params[1]),
-                                   defs.check(params[2], defs.fusion_method)]
+            if not isinstance(params, (list, tuple)) or len(params) < 3:
+                error("lstm_params needs [hidden_dim, num_layers, "
+                      "fusion_method(, visual_mode)], got: [%s]"
+                      % (params,))
+            network.lstm_params = [
+                _num(params[0], "lstm_params[0] (hidden_dim)", int, 1),
+                _num(params[1], "lstm_params[1] (num_layers)", int, 1),
+                defs.check(params[2], defs.fusion_method)]
             # optional 4th entry: visual conditioning mode for captioning
             # (state_bias / input_bias / input_concat, reference
             # defs_.py:57-58; selects among the lstm.py caption graphs)
@@ -248,7 +257,7 @@ class Settings:
         self.run_folder = config["run_folder"]
         if config.get("run_id"):
             self.run_id = config["run_id"]
-        self.seed = int(config.get("seed", 0))
+        self.seed = _num(config.get("seed", 0), "seed", int)
         if config.get("mesh_shape"):
             self.mesh_shape = dict(config["mesh_shape"])
         if config.get("compute_dtype"):
@@ -308,7 +317,9 @@ class Settings:
 
         # logging (settings_.py:246-256)
         logcfg = config.get("logging", {})
-        self.save_freq_per_epoch = float(logcfg.get("save_freq_per_epoch", 1))
+        self.save_freq_per_epoch = _num(
+            logcfg.get("save_freq_per_epoch", 1),
+            "logging.save_freq_per_epoch", minimum=0.0)
         self.logging_level = str(logcfg.get("level", "logging.INFO"))
         valid_levels = ["logging." + x for x in ("INFO", "DEBUG", "WARN")]
         if self.logging_level not in valid_levels:
@@ -322,8 +333,10 @@ class Settings:
         self.print_tensors = bool(logcfg.get("print_tensors", False))
         # optional [start_step, num_steps] to capture a jax.profiler trace
         profile = parse_seq(logcfg.get("profile"))
-        self.profile_steps = (int(profile[0]), int(profile[1])) \
-            if profile else None
+        self.profile_steps = (
+            (_num(profile[0], "logging.profile[0]", int, 0),
+             _num(profile[1], "logging.profile[1]", int, 1))
+            if profile else None)
         self.email_notify = logcfg.get("email_notify")
         if self.email_notify:
             self.email_notify = prep_email(self.email_notify)
@@ -335,19 +348,22 @@ class Settings:
             debug("Reading network [%s]" % pname)
             self.pipelines[pname] = self.read_network(content)
             self.pipeline_names.append(pname)
-        self.num_classes = int(config["network"]["num_classes"])
+        self.num_classes = _num(config["network"]["num_classes"],
+                                "network.num_classes", int, minimum=1)
 
         # per-phase option blocks (settings_.py:271-298)
         for phase in self.phases:
             obj = config[phase]
             if phase == defs.phase.train:
                 tr = TrainOpts()
-                tr.batch_size = int(obj["batch_size"])
-                tr.epochs = int(obj["epochs"])
+                tr.batch_size = _num(obj["batch_size"],
+                                     "train.batch_size", int, minimum=1)
+                tr.epochs = _num(obj["epochs"], "train.epochs", int,
+                                 minimum=0)
                 tr.optimizer = defs.check(obj["optimizer"], defs.optim)
                 wd = obj.get("weight_decay")
                 tr.weight_decay = (0.0 if wd in (None, "None")
-                                   else float(wd))
+                                   else _num(wd, "train.weight_decay"))
                 if tr.weight_decay < 0:
                     error("weight_decay must be >= 0 (got %s)"
                           % tr.weight_decay)
@@ -355,29 +371,39 @@ class Settings:
                     error("weight_decay is decoupled decay and needs "
                           "optimizer: defs.optim.adamw (got %s)"
                           % tr.optimizer)
-                tr.base_lr = float(obj["base_lr"])
+                tr.base_lr = _num(obj["base_lr"], "train.base_lr")
                 tr.lr_mult = (None if str(obj.get("lr_mult")) in
                               ("None", "") or obj.get("lr_mult") is None
-                              else float(obj["lr_mult"]))
+                              else _num(obj["lr_mult"], "train.lr_mult"))
                 lr_decay = parse_seq(obj.get("lr_decay"))
                 if lr_decay is not None:
+                    if len(lr_decay) < 4:
+                        error("lr_decay needs [decay, periodicity, N, "
+                              "factor(, offset)], got: [%s]" % (lr_decay,))
                     parsed = [defs.check(lr_decay[0], defs.decay),
                               defs.check(lr_decay[1], defs.periodicity),
-                              int(lr_decay[2]), float(lr_decay[3])]
+                              _num(lr_decay[2], "lr_decay[2]", int),
+                              _num(lr_decay[3], "lr_decay[3]")]
                     if len(lr_decay) > 4:
-                        parsed.append(int(lr_decay[4]))
+                        parsed.append(_num(lr_decay[4], "lr_decay[4]",
+                                           int))
                     tr.lr_decay = parsed
-                tr.lr_warmup = int(obj.get("lr_warmup", 0) or 0)
+                tr.lr_warmup = _num(obj.get("lr_warmup", 0) or 0,
+                                    "train.lr_warmup", int)
                 if tr.lr_warmup < 0:
                     error("lr_warmup must be >= 0 (got %d)" % tr.lr_warmup)
                 cn = obj.get("clip_norm")
                 tr.clip_norm = (None if cn in (None, "None")
-                                else float(cn))
+                                else _num(cn, "train.clip_norm"))
                 cg = parse_seq(obj.get("clip_grads"))
                 tr.clip_grads = (None if not cg or cg == [None]
-                                 else (float(cg[0]), float(cg[1])))
-                tr.dropout_keep_prob = float(obj.get("dropout_keep_prob", 0.5))
-                tr.accum_steps = int(obj.get("accum_steps", 1))
+                                 else (_num(cg[0], "train.clip_grads[0]"),
+                                       _num(cg[1], "train.clip_grads[1]")))
+                tr.dropout_keep_prob = _num(
+                    obj.get("dropout_keep_prob", 0.5),
+                    "train.dropout_keep_prob", minimum=0.0)
+                tr.accum_steps = _num(obj.get("accum_steps", 1),
+                                      "train.accum_steps", int)
                 if tr.accum_steps < 1:
                     error("accum_steps must be >= 1 (got %d)"
                           % tr.accum_steps)
@@ -387,17 +413,19 @@ class Settings:
                           "micro-batches" % (tr.accum_steps, tr.batch_size))
                 ema = obj.get("ema_decay")
                 tr.ema_decay = (0.0 if ema in (None, "None")
-                                else float(ema))
+                                else _num(ema, "train.ema_decay"))
                 if tr.ema_decay and not 0.0 < tr.ema_decay < 1.0:
                     error("ema_decay must be in (0, 1) (got %s)"
                           % tr.ema_decay)
-                tr.eval_every_epochs = int(obj.get("eval_every_epochs",
-                                                   0) or 0)
+                tr.eval_every_epochs = _num(
+                    obj.get("eval_every_epochs", 0) or 0,
+                    "train.eval_every_epochs", int)
                 if tr.eval_every_epochs < 0:
                     error("eval_every_epochs must be >= 0 (got %d)"
                           % tr.eval_every_epochs)
-                tr.early_stop_patience = int(obj.get("early_stop_patience",
-                                                     0) or 0)
+                tr.early_stop_patience = _num(
+                    obj.get("early_stop_patience", 0) or 0,
+                    "train.early_stop_patience", int)
                 if tr.early_stop_patience and not tr.eval_every_epochs:
                     error("early_stop_patience needs eval_every_epochs "
                           "(stopping is judged on inline val accuracy)")
@@ -444,10 +472,13 @@ class Settings:
                 cap.get("eval_type", "defs.eval_type.coco"), defs.eval_type)
             co.caption_ground_truth = cap.get("caption_ground_truth")
             co.word_embeddings_file = cap.get("word_embeddings_file")
-            co.beam_width = int(cap.get("beam_width", 4))
-            co.length_norm = float(cap.get("length_norm", 0.0))
+            co.beam_width = _num(cap.get("beam_width", 4),
+                                 "captioning.beam_width", int, minimum=1)
+            co.length_norm = _num(cap.get("length_norm", 0.0),
+                                  "captioning.length_norm")
             cml = cap.get("caption_max_length")
-            co.caption_max_length = None if cml is None else int(cml)
+            co.caption_max_length = (None if cml is None else _num(
+                cml, "captioning.caption_max_length", int, minimum=1))
             if co.length_norm < 0:
                 error("captioning.length_norm must be >= 0 (got %s)"
                       % co.length_norm)
@@ -505,7 +536,8 @@ class Settings:
                     warning("Random cropping is enabled in validation mode.")
                 if defs.imgproc.rand_mirror in imgproc:
                     warning("Random mirroring is enabled in validation mode.")
-            read_tries = int(dataobj.get("read_tries", 1))
+            read_tries = _num(dataobj.get("read_tries", 1),
+                              "read_tries", int, minimum=1)
             captioning_config = None
             if "captioning" in dataobj:
                 c = dataobj["captioning"]
@@ -522,7 +554,9 @@ class Settings:
             # TPU-native additions: per-epoch reshuffling (random-access
             # reader makes it free) and device-side preprocessing
             dset.epoch_shuffle = bool(dataobj.get("epoch_shuffle", False))
-            dset.shuffle_seed = int(dataobj.get("shuffle_seed", self.seed))
+            dset.shuffle_seed = _num(
+                dataobj.get("shuffle_seed", self.seed), "shuffle_seed",
+                int)
             # multi-host input sharding: default to this process's slot
             # when running under multi-controller jax
             shards = dataobj.get("host_shards", "auto")
@@ -535,9 +569,11 @@ class Settings:
                     dset.host_shards = jax.process_count()
                     dset.host_shard_index = jax.process_index()
             else:
-                dset.host_shards = int(shards)
-                dset.host_shard_index = int(
-                    dataobj.get("host_shard_index", 0))
+                dset.host_shards = _num(shards, "host_shards", int,
+                                        minimum=1)
+                dset.host_shard_index = _num(
+                    dataobj.get("host_shard_index", 0),
+                    "host_shard_index", int, minimum=0)
             if "device_preprocess" in dataobj:
                 dset.device_preprocess = bool(dataobj["device_preprocess"])
 
@@ -546,10 +582,12 @@ class Settings:
         """Parse a ``val:`` options block (shared by the val phase and
         the train phase's inline eval_every_epochs)."""
         va = ValOpts()
-        va.batch_size = int(obj["batch_size"])
+        va.batch_size = _num(obj["batch_size"], "val.batch_size", int,
+                             minimum=1)
         lsi = obj.get("logits_save_interval")
-        va.logits_save_interval = (None if lsi in (None, "None")
-                                   else int(lsi))
+        va.logits_save_interval = (
+            None if lsi in (None, "None")
+            else _num(lsi, "val.logits_save_interval", int))
         clip_fusion = parse_seq(obj.get("clip_fusion"))
         if clip_fusion is not None:
             va.clip_fusion_type = defs.check(clip_fusion[0],

@@ -40,9 +40,9 @@ from video_learning_tpu.data.imgproc import read_image
 from video_learning_tpu.data.samplers import GenerationLog, sample_clips
 from video_learning_tpu.defs import defs
 from video_learning_tpu.parse_opts import parse_seq, parse_shape
-from video_learning_tpu.utils import (CustomLogger, debug, elapsed_str, error,
-                                      get_datetime_str, info, sublist,
-                                      warning)
+from video_learning_tpu.utils import (CustomLogger, as_num, debug,
+                                      elapsed_str, error, get_datetime_str,
+                                      info, sublist, warning)
 
 
 class SerializationSettings:
@@ -92,10 +92,13 @@ class SerializationSettings:
         self.run_id = rid.strip() if isinstance(rid, str) else None
         if self.run_id in ("None", ""):
             self.run_id = None
-        self.num_threads = int(config.get("num_threads", 4))
-        self.num_items_per_thread = int(config.get("num_items_per_thread",
-                                                   500))
-        self.num_processes = int(config.get("num_processes", 1))
+        self.num_threads = as_num(config.get("num_threads", 4),
+                                  "num_threads", int, minimum=1)
+        self.num_items_per_thread = as_num(
+            config.get("num_items_per_thread", 500),
+            "num_items_per_thread", int, minimum=1)
+        self.num_processes = as_num(config.get("num_processes", 1),
+                                    "num_processes", int, minimum=1)
         if "raw_image_shape" in config:
             # explicit null is a deliberate no-resize request; an absent
             # key keeps the documented default rather than silently
@@ -104,8 +107,12 @@ class SerializationSettings:
         else:
             info("raw_image_shape not set; using default %s"
                  % (self.raw_image_shape,))
-        self.clip_offset_or_num = int(config.get("clip_offset_or_num", 1))
-        self.num_frames_per_clip = int(config.get("num_frames_per_clip", 16))
+        self.clip_offset_or_num = as_num(
+            config.get("clip_offset_or_num", 1), "clip_offset_or_num",
+            int)
+        self.num_frames_per_clip = as_num(
+            config.get("num_frames_per_clip", 16), "num_frames_per_clip",
+            int, minimum=1)
         self.clipframe_mode = defs.check(config["clipframe_mode"],
                                          defs.clipframe_mode)
         self.generation_error = defs.check(config["generation_error"],
@@ -113,7 +120,8 @@ class SerializationSettings:
         self.do_shuffle = bool(config.get("do_shuffle", False))
         self.do_serialize = bool(config.get("do_serialize", True))
         self.do_validate = bool(config.get("do_validate", True))
-        self.validate_pcnt = float(config.get("validate_pcnt", 10))
+        self.validate_pcnt = as_num(config.get("validate_pcnt", 10),
+                                    "validate_pcnt", minimum=0.0)
         self.frame_format = str(config.get("frame_format", "jpg")).strip()
         logging_level = str(config.get("logging_level",
                                        "logging.INFO")).strip()
@@ -129,7 +137,7 @@ class SerializationSettings:
         self.logger.configure_logging(self.logfile, logging_level, None)
 
         if "seed" in config and config["seed"] not in (None, "None"):
-            self.seed = float(config["seed"])
+            self.seed = as_num(config["seed"], "seed")
             info("Using supplied seed: %f" % self.seed)
         else:
             self.seed = random.random()

@@ -58,7 +58,11 @@ class CustomLogger:
     def configure_logging(self, logfile, logging_level, email_notify=None):
         if isinstance(logging_level, str):
             # accept "logging.DEBUG"-style strings from config files
-            logging_level = getattr(logging, logging_level.split(".")[-1])
+            name = logging_level.split(".")[-1]
+            resolved = getattr(logging, name, None)
+            if not isinstance(resolved, int):
+                error("Invalid logging level: %s" % logging_level)
+            logging_level = resolved
         self.logging_level = logging_level
         self.logger = logging.getLogger(CustomLogger.loggername)
         self.logger.setLevel(logging_level)
@@ -123,6 +127,21 @@ def error(msg):
     logging.getLogger(CustomLogger.loggername).error(msg)
     CustomLogger.email(str(msg), "ERROR")
     raise FrameworkError(msg)
+
+
+def as_num(value, field, conv=float, minimum=None):
+    """Convert a config scalar, surfacing a typo as a config-level
+    FrameworkError naming the field — never a raw ValueError/TypeError
+    from a loader's internals (the reference reports every config
+    problem through error(), settings_.py:152-159)."""
+    try:
+        out = conv(value)
+    except (TypeError, ValueError):
+        error("Field [%s] must be a %s, got: [%s]"
+              % (field, conv.__name__, value))
+    if minimum is not None and out < minimum:
+        error("Field [%s] must be >= %s (got %s)" % (field, minimum, out))
+    return out
 
 
 def info(message, email=False):
