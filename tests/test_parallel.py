@@ -165,3 +165,47 @@ def test_accum_steps_dp_tp_matches_unaccumulated():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         assert np.allclose(a, b, atol=5e-4), np.abs(a - b).max()
+
+
+def test_default_step_differentiates_masked_mean():
+    """The accum_steps=1 (default) step is the value_and_grad of
+    softmax_cross_entropy — the masked MEAN (reference train.py:117-124).
+    Pinned at 1e-5 on a PARTIAL batch (the padding mask is live), which
+    catches any wrong-normalization rewrite (sum, divide-by-rows,
+    unmasked mean: all off by >=25% here).  Bit-exactness across two
+    separately-jitted programs is not achievable (fusion differences
+    round differently at ~1e-5); the trajectory-level guard for fp
+    reassociation in the default step is the deterministic captioning
+    example anchor (BASELINE.md round-3 forensics)."""
+    import optax
+    import __graft_entry__ as graft
+    from video_learning_tpu.train import Train, softmax_cross_entropy
+
+    settings, model = graft._flagship()
+    settings.compute_dtype = "float32"
+    settings.train.batch_size = 4
+    engine = Train(settings, settings.feeder, model, seed=0)
+    n_items, fpc = 3, 4                 # 3 of 4 batch slots -> mask live
+    rng = np.random.RandomState(1)
+    feed = {"frames_main_input":
+            rng.randn(n_items * fpc, 67, 67, 3).astype(np.float32),
+            "labels": np.eye(16, dtype=np.int32)[np.arange(n_items) % 16]}
+
+    # reference: direct value_and_grad of the masked-mean loss with the
+    # exact padded feed + rng the engine will use for step 0
+    padded = engine._pad_feed(dict(feed))
+    assert "label_mask" in padded and padded["label_mask"].sum() == n_items
+    key = jax.random.fold_in(engine.base_rng, 0)
+    params0 = jax.tree_util.tree_map(np.asarray, engine.params)
+
+    def loss_fn(p):
+        logits = model.apply(p, padded, train=True, dropout_rng=key)
+        return softmax_cross_entropy(logits, padded["labels"],
+                                     padded["label_mask"])
+
+    ref_loss, ref_grads = jax.jit(jax.value_and_grad(loss_fn))(params0)
+    ref_norm = float(optax.global_norm(ref_grads))
+
+    metrics = engine.run_step(dict(feed))
+    assert metrics["loss"] == pytest.approx(float(ref_loss), rel=1e-5)
+    assert metrics["grad_norm"] == pytest.approx(ref_norm, rel=1e-4)

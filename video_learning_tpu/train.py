@@ -376,12 +376,9 @@ class Train:
         # desync the compiled step from state_dict/place_params)
         ema_decay = self._ema_decay
 
-        def finish(params, opt_state, grads, sums, step):
-            loss_sum, count, correct = sums
-            denom = jnp.maximum(count, 1.0)
-            grads = jax.tree_util.tree_map(
-                lambda g: (g.astype(jnp.float32) / denom).astype(g.dtype),
-                grads)
+        def finish(params, opt_state, grads, loss, acc, step):
+            """Optimizer update + metrics from already mean-normalized
+            grads/loss/accuracy."""
             tx_state = opt_state["tx"] if ema_decay else opt_state
             updates, new_tx_state = tx.update(grads, tx_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -394,17 +391,45 @@ class Train:
             else:
                 new_opt_state = new_tx_state
             metrics = {
-                "loss": loss_sum / denom,
+                "loss": loss,
                 "lr": lr_const[jnp.clip(step, 0, lr_const.shape[0] - 1)],
                 "grad_norm": optax.global_norm(grads),
-                "accuracy": correct / denom,
+                "accuracy": acc,
             }
             return new_params, new_opt_state, metrics
 
         if accum == 1:
+            # differentiate the masked MEAN directly — bit-identical to
+            # the pre-accum_steps step (the micro-sum formulation is
+            # mathematically equal but fp-reassociated: the 1/denom
+            # scaling moves across the backward pass, which measurably
+            # shifts long training trajectories; the caption example
+            # regression pinned this, BASELINE.md round-3)
             def step_fn(params, opt_state, feed, step, rng):
-                grads, *sums = micro_sums(params, feed, rng)
-                return finish(params, opt_state, grads, sums, step)
+                feed = dict(feed)
+                for key, pre in preprocessors.items():
+                    feed[key] = pre(feed[key],
+                                    feed.pop(key + "/proc_params"))
+                labels = feed["labels"]
+                mask = feed.get("label_mask")
+
+                def loss_fn(p):
+                    logits = model.apply(p, feed, train=True,
+                                         dropout_rng=rng)
+                    return softmax_cross_entropy(logits, labels,
+                                                 mask), logits
+
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                correct = (jnp.argmax(logits, 1) ==
+                           jnp.argmax(labels, 1)).astype(jnp.float32)
+                if mask is None:
+                    acc = jnp.mean(correct)
+                else:
+                    m = mask.astype(jnp.float32)
+                    acc = (jnp.sum(correct * m) /
+                           jnp.maximum(jnp.sum(m), 1.0))
+                return finish(params, opt_state, grads, loss, acc, step)
         else:
             def step_fn(params, opt_state, feed, step, rng):
                 # split every feed array's leading dim into ``accum``
@@ -432,8 +457,12 @@ class Train:
                 (grads, ls, cnt, cor), _ = jax.lax.scan(
                     body, (zeros, 0.0, 0.0, 0.0),
                     (jnp.arange(accum), chunked))
-                return finish(params, opt_state, grads, (ls, cnt, cor),
-                              step)
+                denom = jnp.maximum(cnt, 1.0)
+                grads = jax.tree_util.tree_map(
+                    lambda g: (g.astype(jnp.float32) /
+                               denom).astype(g.dtype), grads)
+                return finish(params, opt_state, grads, ls / denom,
+                              cor / denom, step)
 
         self.raw_step = step_fn
         return jax.jit(step_fn, donate_argnums=(0, 1))
