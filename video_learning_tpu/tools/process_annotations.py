@@ -147,8 +147,17 @@ def main(argv=None):
     repl_file = cfg.get("vocab_replacement_file")
     if repl_file in ("None", ""):
         repl_file = None
+    from video_learning_tpu.utils import as_num
     word_count_thresh = cfg.get("word_count_thresh")
+    if word_count_thresh is not None:
+        word_count_thresh = as_num(word_count_thresh,
+                                   "captions.word_count_thresh", int,
+                                   minimum=0)
     caption_max_length = cfg.get("caption_max_length")
+    if caption_max_length is not None:
+        caption_max_length = as_num(caption_max_length,
+                                    "captions.caption_max_length", int,
+                                    minimum=1)
 
     image_jsons = [read_caption_file(c, f)
                    for c, f in zip(caption_files, caption_file_formats)]
