@@ -119,3 +119,55 @@ def test_stale_accuracy_not_harvested(tmp_path, monkeypatch):
     monkeypatch.setattr(rt, "main", fake_main)
     results = e.evaluate(str(cfg_path))
     assert list(results.values()) == [0.987]
+
+
+def test_as_num_int_rejects_nonintegral():
+    """as_num with conv=int must surface 4.9 as a config error, not
+    silently truncate to 4 (round-3 advisor finding)."""
+    from video_learning_tpu.utils import FrameworkError, as_num
+    assert as_num(4, "f", conv=int) == 4
+    assert as_num("4", "f", conv=int) == 4
+    assert as_num(4.0, "f", conv=int) == 4
+    with pytest.raises(FrameworkError):
+        as_num(4.9, "f", conv=int)
+    with pytest.raises(FrameworkError):
+        as_num("4.9", "f", conv=int)
+    # float fields still accept fractional values
+    assert as_num(4.9, "f", conv=float) == 4.9
+
+
+def test_topk_accuracy_weights_chunks_by_size():
+    """get_accuracies: top-1 stays unweighted (reference parity), the
+    top-k additions weight chunks by row count (round-3 advisor
+    finding: a small tail chunk must not be overweighted)."""
+    from video_learning_tpu.val import Validation
+    v = Validation.__new__(Validation)
+    # chunk 0: 4 rows, top-1 correct and top-2 correct on all
+    c0 = np.array([[3.0, 1.0, 0.0]] * 4, np.float32)
+    l0 = np.array([[1, 0, 0]] * 4, np.float32)
+    # chunk 1: 1 row, both top-1 and top-2 wrong
+    c1 = np.array([[5.0, 4.0, 0.0]], np.float32)
+    l1 = np.array([[0, 0, 1]], np.float32)
+    chunks = [c0, c1]
+    v.validation_logits_save_counter = 2
+    v.validation_logits_save_interval = 1
+    v.load_validation_logits_chunk = lambda idx: chunks[idx]
+    v.item_logits = np.zeros((0, 3), np.float32)
+    v.item_labels = np.concatenate([l0, l1])
+    accs = v.get_accuracies([1, 2])
+    assert accs[1] == pytest.approx(0.5)        # unweighted (4/4, 0/1)
+    assert accs[2] == pytest.approx(0.8)        # weighted: 4 of 5 rows
+
+
+def test_count_clips_uses_visual_rows_not_label_grid():
+    """clips/s must count clips — caption labels are a (B*T, C) word
+    grid (round-3 advisor finding)."""
+    from video_learning_tpu.run_task import _count_clips
+
+    class B:
+        def __init__(self, n):
+            self.visual = np.zeros((n, 4), np.float32)
+
+    # main: 2 clips x 8 fpc = 16 frame rows; aux: 6 vector rows (fpc None)
+    batches = {"main": B(16), "aux": B(6)}
+    assert _count_clips(batches, {"main": 8, "aux": None}) == 2 + 6

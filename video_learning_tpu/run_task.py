@@ -66,6 +66,15 @@ def _prepare_feed(feed, batches, model):
     return feed
 
 
+def _count_clips(batches, fpc_by_tag):
+    """CLIPS in a step's batches, for the streamed clips/s metric.
+    Counts visual rows / frames-per-clip rather than label rows —
+    caption training pads labels to a (B*T, C) word grid, which would
+    overstate the rate by the caption length T."""
+    return sum(b.visual.shape[0] // (fpc_by_tag.get(tag) or 1)
+               for tag, b in batches.items())
+
+
 def _install_preempt_handler():
     """Catch SIGTERM — the grace signal cloud schedulers send before
     reclaiming a preemptible TPU VM — and record it instead of dying
@@ -181,6 +190,8 @@ def do_train(settings, engine, feeder, model, writer):
     preempt, restore_handler = _install_preempt_handler()
     preempted = False
     step_tic = None     # e2e throughput clock (clips/s in the metrics)
+    fpc_by_tag = {d.tag: d.num_frames_per_clip
+                  for d in feeder.get_datasets()}
     profiler = None
     if getattr(settings, "profile_steps", None):
         from video_learning_tpu.observe import StepProfiler
@@ -223,7 +234,8 @@ def do_train(settings, engine, feeder, model, writer):
                 now = time.monotonic()
                 if step_tic is not None:
                     metrics["clips_per_sec"] = round(
-                        len(feed["labels"]) / max(now - step_tic, 1e-9), 2)
+                        _count_clips(batches, fpc_by_tag)
+                        / max(now - step_tic, 1e-9), 2)
                 step_tic = now
                 if metrics["loss"] < min_train_loss[0]:
                     min_train_loss = (metrics["loss"], engine.global_step)

@@ -136,6 +136,11 @@ def as_num(value, field, conv=float, minimum=None):
     problem through error(), settings_.py:152-159)."""
     try:
         out = conv(value)
+        if conv is int and not isinstance(value, bool) and \
+                float(value) != out:
+            # int(4.9) silently truncates — a config typo like
+            # ``batch_size: 4.9`` must surface, not round down
+            raise ValueError(value)
     except (TypeError, ValueError):
         error("Field [%s] must be a %s, got: [%s]"
               % (field, conv.__name__, value))

@@ -455,10 +455,18 @@ class Validation:
         """Accuracies for several ``k`` values in ONE pass over the
         persisted chunks: each chunk is unpickled once, not once per k
         (``val: top_k: [3, 5]`` would otherwise repeat the full chunk
-        IO per entry)."""
+        IO per entry).
+
+        Weighting: top-1 averages per-chunk accuracies UNWEIGHTED —
+        reference parity (ref val.py:174-198 does exactly this, so a
+        smaller tail chunk is overweighted there too).  The top-k
+        additions (k > 1) carry no compat constraint and weight each
+        chunk by its row count (equivalent to pooled correct/total)."""
         accuracies = {k: [] for k in ks}
+        sizes = []
 
         def add(logits, labels):
+            sizes.append(len(logits))
             for k in ks:
                 accuracies[k].append(
                     self.get_chunk_accuracy(logits, labels, k))
@@ -472,7 +480,9 @@ class Validation:
         if len(self.item_logits) > 0:
             size = len(self.item_logits)
             add(self.item_logits, self.item_labels[curr:curr + size, :])
-        return {k: float(np.mean(accuracies[k])) for k in ks}
+        return {k: float(np.mean(accuracies[k]) if k <= 1 else
+                         np.average(accuracies[k], weights=sizes))
+                for k in ks}
 
     def get_chunk_accuracy(self, logits, labels, k=1):
         logits = np.asarray(logits)
