@@ -583,3 +583,137 @@ def test_inline_eval_requires_val_dataset(packed_tree):
     p.write_text(yaml.safe_dump(docs))
     with pytest.raises(Exception, match="val-phase dataset"):
         Settings().initialize(str(p))
+
+
+# --------------------------------------------------------------- bit-exact
+# resume equivalence (the whole point of replacing the reference's
+# iterator fast-forward, dataset_.py:772-811 / feeder.py:263-288, with
+# (seed, epoch)-deterministic shuffles, O(1) positional restore and
+# step-keyed RNG): interrupted-and-resumed training must be BIT-IDENTICAL
+# to uninterrupted training — params, opt-state leaves, EMA shadow, and
+# the per-step metrics stream.
+
+@pytest.fixture(scope="module")
+def packed_tree8(tmp_path_factory):
+    """8 videos so batch_size=4 gives two even batches per epoch, and
+    accum_steps=2 micro-batches still shard over a data=2 mesh axis."""
+    from tests.conftest import make_image
+    from PIL import Image
+    tmp_path = tmp_path_factory.mktemp("bitexact")
+    vids = []
+    for v in range(8):
+        vdir = tmp_path / ("vid%d" % v)
+        vdir.mkdir()
+        for i in range(12):
+            Image.fromarray(make_image(112, 112, seed=v * 50 + i)).save(
+                vdir / ("f_%04d.jpg" % i), quality=95)
+        vids.append(vdir)
+    tree = tmp_path / "videos.train"
+    tree.write_text("\n".join("%s %d" % (v, i % 3)
+                              for i, v in enumerate(vids)) + "\n")
+    _pack(tmp_path, tree)
+    return tmp_path, tree
+
+
+def _bitexact_config(tmp_path, tree, run_name, accum, ema, mesh,
+                     resume=None):
+    cfg, run_folder = _run_config(tmp_path, tree, "train", resume=resume,
+                                  epochs=2)
+    docs = yaml.safe_load(cfg.read_text())
+    run_folder = tmp_path / run_name
+    docs["run"]["run_folder"] = str(run_folder)
+    docs["run"]["mesh_shape"] = mesh
+    docs["run"]["train"]["batch_size"] = 4
+    docs["run"]["train"]["accum_steps"] = accum
+    if ema:
+        docs["run"]["train"]["ema_decay"] = ema
+    out = tmp_path / ("%s.yml" % run_name)
+    out.write_text(yaml.safe_dump(docs))
+    return out, run_folder
+
+
+def _read_metric_stream(run_folder):
+    """{global_step: (loss, lr, grad_norm)} merged over every metrics
+    file the run(s) in this folder wrote."""
+    out = {}
+    for f in sorted((run_folder / "tb" / "train").glob("metrics_*.jsonl")):
+        for line in open(f):
+            rec = json.loads(line)
+            out[rec["step"]] = (rec["loss"], rec["lr"], rec["grad_norm"])
+    return out
+
+
+@pytest.mark.parametrize("accum,ema,mesh", [
+    (1, 0.0, {"data": 1}),
+    (2, 0.9, {"data": 1}),
+    (1, 0.9, {"data": 2, "model": 2}),
+    (2, 0.0, {"data": 2, "model": 2}),
+])
+def test_bitexact_resume_equivalence(packed_tree8, accum, ema, mesh):
+    """train(4 steps) ≡ train(1 step) -> SIGTERM preempt save ->
+    fresh engine -> resume -> train(3 steps), exactly, on CPU."""
+    from video_learning_tpu import checkpoint as ckpt_mod
+    from video_learning_tpu import observe, run_task
+    import signal
+    tmp_path, tree = packed_tree8
+    tag = "a%d_e%s_m%d" % (accum, ema, len(mesh))
+
+    # ---- uninterrupted baseline: 2 epochs x 2 batches = 4 steps
+    cfg_a, folder_a = _bitexact_config(tmp_path, tree, "base_" + tag,
+                                       accum, ema, mesh)
+    run_task.main(str(cfg_a))
+
+    # ---- interrupted run: SIGTERM lands after step 1 (mid-epoch), the
+    # preempt handler saves and exits the loop cleanly
+    cfg_b, folder_b = _bitexact_config(tmp_path, tree, "intr_" + tag,
+                                       accum, ema, mesh)
+    real_write = observe.MetricsWriter.write
+    fired = []
+
+    def write_and_sigterm(self, step, **metrics):
+        real_write(self, step, **metrics)
+        if not fired:
+            fired.append(step)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    observe.MetricsWriter.write = write_and_sigterm
+    try:
+        run_task.main(str(cfg_b))
+    finally:
+        observe.MetricsWriter.write = real_write
+    preempt = [p for p in (folder_b / "checkpoints").glob("*.ckpt")
+               if "_preempt" in p.name]
+    assert preempt, "no preemption checkpoint written"
+
+    # ---- fresh engine resumes and finishes the remaining 3 steps
+    cfg_c, _ = _bitexact_config(tmp_path, tree, "intr_" + tag,
+                                accum, ema, mesh, resume="latest")
+    run_task.main(str(cfg_c))
+
+    # ---- metrics streams identical at every overlapping step
+    stream_a = _read_metric_stream(folder_a)
+    stream_b = _read_metric_stream(folder_b)
+    assert sorted(stream_a) == sorted(stream_b) == [1, 2, 3, 4]
+    assert stream_a == stream_b, (
+        "resumed metrics diverge: %s vs %s" % (stream_a, stream_b))
+
+    # ---- final checkpoints bit-identical: params, opt-state leaves,
+    # EMA shadow, global step
+    def final_ckpt(folder):
+        ckpts = [p for p in (folder / "checkpoints").glob("*.ckpt")
+                 if "_preempt" not in p.name]
+        return ckpt_mod.load_flat(
+            str(max(ckpts, key=lambda p: int(p.stem.split("_gs_")[-1]))))
+
+    flat_a, flat_b = final_ckpt(folder_a), final_ckpt(folder_b)
+    assert sorted(flat_a) == sorted(flat_b)
+    if ema:
+        assert any(k.startswith("ema_params") for k in flat_a)
+    assert any(k.startswith("params") for k in flat_a)
+    for k in flat_a:
+        a, b = np.asarray(flat_a[k]), np.asarray(flat_b[k])
+        assert a.dtype == b.dtype and a.shape == b.shape, k
+        assert np.array_equal(a, b), (
+            "checkpoint leaf %s differs after resume (max |d|=%s)"
+            % (k, np.max(np.abs(a.astype(np.float64)
+                                - b.astype(np.float64)))))
