@@ -328,6 +328,138 @@ def test_ptb_tokenizer_matches_nltk_treebank():
         assert ours == theirs, (s, ours, theirs)
 
 
+def test_ptb_special_contractions():
+    """tokenizer.sed's special contraction list beyond the common
+    clitics: gimme/lemme/gonna-style splits plus the apostrophe forms
+    'tis/'twas (apostrophe stays with the t), more'n and d'ye."""
+    from video_learning_tpu.metrics.ptb import ptb_tokenize
+
+    assert ptb_tokenize("gimme the ball") == ["gim", "me", "the", "ball"]
+    assert ptb_tokenize("more'n enough") == ["more", "'n", "enough"]
+    assert ptb_tokenize("'tis true") == ["'t", "is", "true"]
+    assert ptb_tokenize("'twas night") == ["'t", "was", "night"]
+    assert ptb_tokenize("d'ye know") == ["d", "'ye", "know"]
+    # decade apostrophes are NOT contractions
+    assert ptb_tokenize("it's the '90s again") == \
+        ["it", "'s", "the", "'90s", "again"]
+
+
+# -------------------------------------------- corpus-scale agreement
+# Seeded generator composing sentences from fragment pools that cover
+# every PTB rule family: clitics, multi-word contractions, digit-aware
+# commas/colons, currency/percent, hyphenations, possessives (singular
+# + plural), quotes (plain + nested), all three bracket kinds, ellipses,
+# -- dashes, and trailing punctuation.  Measured agreement with nltk's
+# TreebankWordTokenizer: 100% on 500 sentences (rate recorded in
+# PARITY.md; any future divergence must be itemized there).
+_CORPUS_SUBJECTS = [
+    "a man", "the woman", "two dogs", "she", "he", "the well-known actor",
+    "my mother-in-law", "the state-of-the-art system", "kids", "the cat",
+    "a twenty-year-old runner", "the team", "everyone", "the girl",
+    "an old gentleman", "three children", "it", "the dog's owner",
+    "somebody's friend", "y'all"]
+_CORPUS_VERBS = [
+    "runs", "doesn't run", "can't stop", "won't wait", "isn't moving",
+    "walks", "jumped", "sits quietly", "couldn't believe", "shouldn't leave",
+    "gonna play", "wanna dance", "cannot swim", "gotta go", "lemme see",
+    "they'll finish", "we're trying", "you've seen", "i'm sure",
+    "he'd agree", "gimme", "ain't got", "shan't touch", "d'ye know",
+    "more'n likes"]
+_CORPUS_OBJECTS = [
+    "the ball", "a red car", "1,000 meters", "3.5 km", "the 3:30 train",
+    "$5,000", "100% of the cake", "the kids' toys", "the cat's hat",
+    "a {strange} thing", "[bracketed] text", "(parenthetical) notes",
+    "item #42", "the A&B company", "some e-mail", "the so-called 'plan'",
+    "twenty-three apples", "a one-of-a-kind gift", "rock 'n' roll",
+    "half the pie", "the '90s music", "x=1, y=2"]
+_CORPUS_TAILS = [
+    "", "", "", " -- really", "...", "; so it goes", ", obviously",
+    " (as expected)", " -- or not", ": a mystery", ", isn't it",
+    " at 12:45", " for $9.99", " by 50%", " e.g. twice", "... or more"]
+_CORPUS_ENDS = [".", ".", ".", "!", "?", "...", ".", "!", "?", ".", "?!"]
+_CORPUS_WRAPS = [
+    lambda s: s, lambda s: s, lambda s: s,
+    lambda s: '"%s"' % s,
+    lambda s: "%s, she said" % s,
+    lambda s: 'he said, "%s"' % s,
+    lambda s: "wait... %s" % s,
+    lambda s: "'tis said %s" % s]
+
+
+def _gen_corpus_sentence(rng):
+    s = "%s %s %s%s" % (rng.choice(_CORPUS_SUBJECTS),
+                        rng.choice(_CORPUS_VERBS),
+                        rng.choice(_CORPUS_OBJECTS),
+                        rng.choice(_CORPUS_TAILS))
+    return rng.choice(_CORPUS_WRAPS)(s) + rng.choice(_CORPUS_ENDS)
+
+
+def test_ptb_tokenizer_corpus_agreement_nltk():
+    """Corpus-scale cross-validation: 500 seeded composite sentences vs
+    nltk's TreebankWordTokenizer, token-stream equality required on ALL
+    of them (measured rate 100%, recorded in PARITY.md)."""
+    import random as _random
+
+    nltk_tok = pytest.importorskip("nltk.tokenize")
+    from video_learning_tpu.metrics.ptb import ptb_tokenize
+    t = nltk_tok.TreebankWordTokenizer()
+    unmap = {"-LRB-": "(", "-RRB-": ")", "-LSB-": "[", "-RSB-": "]",
+             "-LCB-": "{", "-RCB-": "}"}
+    rng = _random.Random(20260819)
+    mismatches = []
+    for _ in range(500):
+        s = _gen_corpus_sentence(rng)
+        ours = [unmap.get(w, w) for w in ptb_tokenize(s)]
+        theirs = t.tokenize(s.lower())
+        if ours != theirs:
+            mismatches.append((s, ours, theirs))
+    assert not mismatches, mismatches[:5]
+
+
+def test_meteor_corpus_agreement_nltk():
+    """Corpus-scale METEOR cross-validation: 200 seeded (candidate,
+    references) pairs spanning synonym swaps, reorderings, truncations,
+    multi-reference sets and unrelated captions; EXACT score equality
+    with nltk.translate.meteor_score running the identical stemmer and
+    the bundled synonym table (measured rate 100%, PARITY.md)."""
+    import random as _random
+
+    nltk_ms = pytest.importorskip("nltk.translate.meteor_score")
+    from video_learning_tpu.metrics import coco_eval as ce
+    from video_learning_tpu.metrics.synonyms import wordnet_like
+
+    words = ("a the big large small little dog cat hound man woman person "
+             "guy runs sprints walks strolls sits stands jumps leaps "
+             "quickly slowly fast red crimson blue azure car automobile "
+             "road street field meadow toy toys child children kid kids "
+             "play playing plays old elderly young gentleman lady across "
+             "upon on in under over and or with").split()
+    rng = _random.Random(42)
+    mismatches = []
+    for _ in range(200):
+        ref = [rng.choice(words) for _ in range(rng.randint(3, 12))]
+        if rng.random() < 0.7:
+            cand = list(ref)
+            for j in range(len(cand)):
+                if rng.random() < 0.3:
+                    cand[j] = rng.choice(words)
+            if rng.random() < 0.5:
+                rng.shuffle(cand)
+            if len(cand) > 3 and rng.random() < 0.3:
+                cand = cand[:-rng.randint(1, 2)]
+        else:
+            cand = [rng.choice(words) for _ in range(rng.randint(3, 10))]
+        refs = [ref] + [[rng.choice(words)
+                         for _ in range(rng.randint(3, 10))]
+                        for _ in range(rng.randint(1, 3) - 1)]
+        ours = ce.meteor({1: cand}, {1: refs})
+        theirs = nltk_ms.meteor_score(refs, cand, stemmer=_OurStemmer(),
+                                      wordnet=wordnet_like)
+        if abs(ours - theirs) > 1e-12:
+            mismatches.append((cand, refs, ours, theirs))
+    assert not mismatches, mismatches[:5]
+
+
 # ------------------------------------------------- METEOR synonym stage
 class _OurStemmer:
     def stem(self, w):

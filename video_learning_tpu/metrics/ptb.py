@@ -68,6 +68,12 @@ _STAGES = [
     (re.compile(r"\b(gon|wan)(na)\b", re.I), r"\1 \2"),
     (re.compile(r"\b(got)(ta)\b", re.I), r"\1 \2"),
     (re.compile(r"\b(lem)(me)\b", re.I), r"\1 \2"),
+    (re.compile(r"\b(gim)(me)\b", re.I), r"\1 \2"),
+    # tokenizer.sed's remaining special contractions: 'tis/'twas keep
+    # the apostrophe with the t, more'n and d'ye split at the apostrophe
+    (re.compile(r"\b(more)('n)\b", re.I), r"\1 \2"),
+    (re.compile(r"('t)(is|was)\b", re.I), r"\1 \2"),
+    (re.compile(r"\b(d)('ye)\b", re.I), r"\1 \2"),
 ]
 
 
