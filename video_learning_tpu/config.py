@@ -331,6 +331,13 @@ class Settings:
         self.tensorboard_events = bool(logcfg.get("tensorboard_events",
                                                   False))
         self.print_tensors = bool(logcfg.get("print_tensors", False))
+        # per-tensor descriptive statistics (the reference's
+        # add_descriptive_summary, utils_.py:172-184): regex patterns
+        # matched against checkpoint-style param paths; each matching
+        # param AND its gradient streams mean/std/min/max into the JSONL
+        # metrics (and the TB event sink, when enabled) every step
+        self.watch_tensors = parse_seq(logcfg.get("watch_tensors")) or []
+        self.watch_tensors = [str(p) for p in self.watch_tensors]
         # optional [start_step, num_steps] to capture a jax.profiler trace
         profile = parse_seq(logcfg.get("profile"))
         self.profile_steps = (

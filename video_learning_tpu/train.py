@@ -32,6 +32,7 @@ for batch sizes past HBM, complementary to ``remat``).
 
 import math
 import os
+import re
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,7 @@ from video_learning_tpu.ops.preprocess import make_preprocessor, \
     supports_device_path
 from video_learning_tpu.parallel import mesh as mesh_mod
 from video_learning_tpu.parallel.sharding import param_shardings
-from video_learning_tpu.utils import error, info
+from video_learning_tpu.utils import error, info, warning
 
 # ----------------------------------------------------------- LR schedule
 
@@ -376,6 +377,38 @@ class Train:
         # desync the compiled step from state_dict/place_params)
         ema_decay = self._ema_decay
 
+        # descriptive tensor summaries (reference utils_.py:172-184
+        # add_descriptive_summary): the watch list is static config, so
+        # the matched paths are resolved once at trace time and the
+        # stats are fused into the step executable — scalars only leave
+        # the device, never the tensors themselves
+        watched_paths = []
+        patterns = [re.compile(p)
+                    for p in getattr(settings, "watch_tensors", []) or []]
+        if patterns:
+            from video_learning_tpu.checkpoint import flatten_tree
+            watched_paths = sorted(
+                path for path in flatten_tree(self.params)
+                if any(rx.search(path) for rx in patterns))
+            if not watched_paths:
+                warning("logging.watch_tensors %s matched no params"
+                        % settings.watch_tensors)
+
+        def _watch_stats(params, grads, metrics):
+            if not watched_paths:
+                return
+            from video_learning_tpu.checkpoint import flatten_tree
+            flat = {"param": flatten_tree(params),
+                    "grad": flatten_tree(grads)}
+            for kind, leaves in flat.items():
+                for path in watched_paths:
+                    x = leaves[path].astype(jnp.float32)
+                    key = "%s/%s" % (kind, path)
+                    metrics[key + "/mean"] = jnp.mean(x)
+                    metrics[key + "/std"] = jnp.std(x)
+                    metrics[key + "/min"] = jnp.min(x)
+                    metrics[key + "/max"] = jnp.max(x)
+
         def finish(params, opt_state, grads, loss, acc, step):
             """Optimizer update + metrics from already mean-normalized
             grads/loss/accuracy."""
@@ -396,6 +429,7 @@ class Train:
                 "grad_norm": optax.global_norm(grads),
                 "accuracy": acc,
             }
+            _watch_stats(params, grads, metrics)
             return new_params, new_opt_state, metrics
 
         if accum == 1:
