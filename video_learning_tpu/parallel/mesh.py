@@ -25,10 +25,21 @@ def init_platform():
     The tunnelled TPU plugin in this environment registers its backend
     lazily and intermittently fails; when the configured platform cannot
     initialize, fall back to automatic selection and finally to CPU rather
-    than aborting the run.  Returns the list of devices."""
+    than aborting the run.  Returns the list of devices.
+
+    A ``JAX_PLATFORMS`` (or ``VLT_PLATFORM``) environment variable is
+    honored explicitly via jax.config — some out-of-tree device plugins
+    register themselves regardless of the env var, which would silently
+    put a run meant for the host CPU (e.g. the deterministic accuracy
+    anchors in BASELINE.md) on the accelerator."""
+    import os
+
     import jax
 
-    for attempt, platforms in enumerate((None, "", "cpu")):
+    forced = os.environ.get("VLT_PLATFORM") or \
+        os.environ.get("JAX_PLATFORMS")
+    attempts = (forced, "", "cpu") if forced else (None, "", "cpu")
+    for attempt, platforms in enumerate(attempts):
         try:
             if platforms is not None:
                 jax.config.update("jax_platforms", platforms)
