@@ -4,6 +4,7 @@ pipeline DAG builder."""
 
 import jax
 import jax.numpy as jnp
+import os
 import numpy as np
 import pytest
 
@@ -555,3 +556,74 @@ def test_pipeline_dcnn_weights_file(tmp_path):
     params = vec.init(jax.random.PRNGKey(0), (67, 67, 3))
     assert np.array_equal(np.asarray(params["conv1"]["w"]),
                           net_data["conv1"][0])
+
+
+def _full_bvlc_npy(tmp_path, seed=0, name="bvlc_alexnet.npy"):
+    """Synthesize a COMPLETE bvlc-schema npy (all 8 layers, exact shapes)
+    for driving tools/validate_pretrained without the real asset."""
+    from video_learning_tpu.tools.validate_pretrained import BVLC_SHAPES
+    rng = np.random.RandomState(seed)
+    net_data = {layer: [rng.randn(*w).astype(np.float32) * 0.01,
+                        rng.randn(*b).astype(np.float32) * 0.1]
+                for layer, (w, b) in BVLC_SHAPES.items()}
+    wfile = tmp_path / name
+    np.save(wfile, np.asarray(net_data, dtype=object), allow_pickle=True)
+    return wfile
+
+
+def test_bvlc_sidecar_checksum(tmp_path):
+    """load_bvlc_weights verifies a .sha256 sidecar when present: correct
+    digest loads, stale digest raises FrameworkError."""
+    import hashlib
+
+    from video_learning_tpu.models import alexnet
+    from video_learning_tpu.utils import FrameworkError
+
+    wfile = _full_bvlc_npy(tmp_path)
+    digest = hashlib.sha256(wfile.read_bytes()).hexdigest()
+    (tmp_path / "bvlc_alexnet.npy.sha256").write_text(digest + "\n")
+    assert "conv1" in alexnet.load_bvlc_weights(str(wfile))
+    # swap the asset under the sidecar -> loud failure
+    _full_bvlc_npy(tmp_path, seed=1)
+    with pytest.raises(FrameworkError, match="sha256"):
+        alexnet.load_bvlc_weights(str(wfile))
+
+
+def test_validate_pretrained_tool(tmp_path):
+    """The offline validation CLI: schema pass, deterministic feature
+    fingerprint, manifest trust-on-first-use then mismatch detection."""
+    from video_learning_tpu.tools import validate_pretrained as vp
+
+    wfile = _full_bvlc_npy(tmp_path)
+    assert vp.main([str(wfile)]) == 0                  # records manifest
+    assert (tmp_path / "bvlc_alexnet.npy.manifest.json").exists()
+    assert (tmp_path / "bvlc_alexnet.npy.sha256").exists()
+    assert vp.main([str(wfile)]) == 0                  # matches manifest
+    # fingerprints are deterministic across runs
+    fp1 = vp.feature_fingerprint(str(wfile))
+    fp2 = vp.feature_fingerprint(str(wfile))
+    assert fp1 == fp2
+    # a different asset against the same manifest fails
+    wfile2 = _full_bvlc_npy(tmp_path, seed=2, name="bvlc_other.npy")
+    assert vp.main([str(wfile2), "--manifest",
+                    str(tmp_path / "bvlc_alexnet.npy.manifest.json"),
+                    "--no-sidecar"]) == 1
+    # schema failure is reported
+    bad = dict(np.load(wfile, allow_pickle=True).item())
+    bad.pop("conv3")
+    np.save(tmp_path / "bad.npy", np.asarray(bad, dtype=object),
+            allow_pickle=True)
+    assert vp.main([str(tmp_path / "bad.npy")]) == 1
+
+
+@pytest.mark.skipif(not os.environ.get("VLT_BVLC_NPY"),
+                    reason="set VLT_BVLC_NPY=/path/to/bvlc_alexnet.npy "
+                           "to validate the real pretrained asset")
+def test_real_bvlc_weights_validation():
+    """Offline-only: runs the full validation (schema + fingerprint +
+    manifest) against the REAL downloaded bvlc_alexnet.npy."""
+    from video_learning_tpu.tools import validate_pretrained as vp
+
+    path = os.environ["VLT_BVLC_NPY"]
+    assert vp.main([path]) == 0
+    assert vp.main([path]) == 0   # second run compares the manifest

@@ -45,9 +45,28 @@ _FC_DIM = 4096
 
 def load_bvlc_weights(weights_file):
     """Load the public bvlc_alexnet.npy dict: {layer: [w, b]}
-    (reference alexnet.py:49-51)."""
+    (reference alexnet.py:49-51).
+
+    When a ``<weights_file>.sha256`` sidecar exists — written by
+    ``tools/validate_pretrained.py``'s offline validation of the real
+    pretrained asset — the file's digest is re-verified on every load, so
+    a corrupted or silently swapped asset fails loudly instead of
+    training on different features."""
     if not os.path.exists(weights_file):
         error("AlexNet weights file does not exist: %s" % weights_file)
+    sidecar = weights_file + ".sha256"
+    if os.path.exists(sidecar):
+        import hashlib
+        want = open(sidecar).read().split()[0].strip()
+        h = hashlib.sha256()
+        with open(weights_file, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != want:
+            error("AlexNet weights file %s does not match its .sha256 "
+                  "sidecar (%s != %s) — re-download or re-validate with "
+                  "tools/validate_pretrained.py"
+                  % (weights_file, h.hexdigest(), want))
     net_data = np.load(weights_file, encoding="latin1",
                        allow_pickle=True).item()
     return net_data
