@@ -62,6 +62,7 @@ def served_artifact(tmp_path_factory):
         daemon=True)
     t.start()
     assert started.wait(timeout=120), "server did not start"
+    started.artifact = str(artifact)
     host, port = started.addr
 
     def conn():
@@ -411,3 +412,20 @@ def test_request_timeout_returns_503():
     # warm-up + wedged call + this fresh one; the two abandoned queue
     # entries were skipped, not replayed as device calls
     assert SlowModule.calls[0] == calls_after_recovery + 1
+
+
+def test_selftest_loadgen(served_artifact):
+    """tools/serve --selftest: loopback load generation reports sustained
+    RPS and p50/p99 per request size (the HTTP-tier numbers bench.py's
+    device-call measurements exclude)."""
+    from video_learning_tpu.tools import serve as serve_mod
+
+    _, _, started = served_artifact
+    rows = serve_mod.selftest(started.artifact, item_counts=(1, 2, 99),
+                              duration_s=1.5, concurrency=3,
+                              window_ms=5.0)
+    assert [r["items_per_request"] for r in rows] == [1, 2, 2]  # 99 clamped
+    for r in rows:
+        assert r["errors"] == 0
+        assert r["requests"] > 0 and r["rps"] > 0
+        assert r["p50_ms"] > 0 and r["p99_ms"] >= r["p50_ms"]

@@ -502,6 +502,115 @@ def serve(artifact, port=8000, host="127.0.0.1", classes=None,
     return httpd
 
 
+def selftest(artifact, item_counts=(1, 8, 32), duration_s=8.0,
+             concurrency=8, window_ms=3.0, classes=None):
+    """Loopback load test: start the server in-process on an ephemeral
+    port, drive it with closed-loop client threads posting npz bodies,
+    and report sustained RPS / items/s / p50 / p99 per request size.
+
+    Measures what bench.py's device-call numbers exclude: request
+    parsing, the coalescing window, response encoding and socket
+    overhead (docs/SERVING.md "HTTP tier").  Items beyond the artifact's
+    batch capacity are clamped (a request cannot exceed one batch)."""
+    import http.client
+
+    from video_learning_tpu.tools.export_serving import load
+
+    module = load(artifact)
+    capacity = int(module.meta["batch_items"])
+    per = [int(s["shape"][0]) // capacity for s in module.meta["inputs"]]
+
+    def body_for(n):
+        rng = np.random.RandomState(n)
+        arrays = {s["name"]: rng.randint(
+            0, 200, (p * n,) + tuple(s["shape"][1:])).astype(s["dtype"])
+            for p, s in zip(per, module.meta["inputs"])}
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        return buf.getvalue()
+
+    started = threading.Event()
+    server_thread = threading.Thread(
+        target=serve, args=(artifact,),
+        kwargs=dict(port=0, classes=classes, window_ms=window_ms,
+                    started=started),
+        daemon=True)
+    server_thread.start()
+    if not started.wait(timeout=300):
+        error("selftest server did not start")
+    host, port = started.addr
+
+    results = []
+    for n in item_counts:
+        n = min(int(n), capacity)
+        body = body_for(n)
+        stop_at = [0.0]
+        lat, errs = [], [0]
+        lock = threading.Lock()
+
+        def client():
+            conn = http.client.HTTPConnection(host, port, timeout=120)
+            my_lat = []
+            while time.monotonic() < stop_at[0]:
+                t0 = time.monotonic()
+                try:
+                    conn.request("POST", "/predict", body=body,
+                                 headers={"Content-Type":
+                                          "application/x-npz"})
+                    r = conn.getresponse()
+                    r.read()
+                    ok = r.status == 200
+                except Exception:
+                    ok = False
+                    conn.close()
+                    conn = http.client.HTTPConnection(host, port,
+                                                      timeout=120)
+                dt = time.monotonic() - t0
+                if ok:
+                    my_lat.append(dt)
+                else:
+                    with lock:
+                        errs[0] += 1
+            conn.close()
+            with lock:
+                lat.extend(my_lat)
+
+        # warmup: one request compiles/warms every bucket this size hits
+        warm = http.client.HTTPConnection(host, port, timeout=300)
+        warm.request("POST", "/predict", body=body,
+                     headers={"Content-Type": "application/x-npz"})
+        assert warm.getresponse().read() is not None
+        warm.close()
+
+        stop_at[0] = time.monotonic() + duration_s
+        threads = [threading.Thread(target=client) for _ in
+                   range(concurrency)]
+        t_start = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.monotonic() - t_start
+        lat.sort()
+        row = {
+            "items_per_request": n,
+            "concurrency": concurrency,
+            "duration_s": round(elapsed, 2),
+            "requests": len(lat),
+            "errors": errs[0],
+            "rps": round(len(lat) / elapsed, 2),
+            "items_per_sec": round(len(lat) * n / elapsed, 2),
+            "p50_ms": round(1e3 * lat[len(lat) // 2], 2) if lat else None,
+            "p99_ms": round(1e3 * lat[int(len(lat) * 0.99)], 2)
+            if lat else None,
+        }
+        results.append(row)
+        print(json.dumps(row))
+    started.httpd.shutdown()
+    server_thread.join(timeout=60)
+    return results
+
+
 def main(argv=None):
     ensure_console_logging()
     parser = argparse.ArgumentParser(
@@ -521,10 +630,26 @@ def main(argv=None):
                         help="micro-batch coalescing window")
     parser.add_argument("--no-batch", action="store_true",
                         help="disable coalescing (serialize requests)")
+    parser.add_argument("--selftest", action="store_true",
+                        help="loopback load test instead of serving: "
+                             "prints one JSON line per request size "
+                             "with sustained RPS and p50/p99 latency")
+    parser.add_argument("--selftest-items", default="1,8,32",
+                        help="comma list of items per request")
+    parser.add_argument("--selftest-duration-s", type=float, default=8.0)
+    parser.add_argument("--selftest-concurrency", type=int, default=8)
     args = parser.parse_args(argv)
     if not (os.path.exists(args.artifact)
             and zipfile.is_zipfile(args.artifact)):
         error("Not a .vlx artifact: %s" % args.artifact)
+    if args.selftest:
+        selftest(args.artifact,
+                 item_counts=[int(x) for x in
+                              args.selftest_items.split(",") if x],
+                 duration_s=args.selftest_duration_s,
+                 concurrency=args.selftest_concurrency,
+                 window_ms=args.window_ms, classes=args.classes)
+        return
     serve(args.artifact, port=args.port, host=args.host,
           classes=args.classes, window_ms=args.window_ms,
           coalesce=not args.no_batch,
