@@ -44,16 +44,33 @@ CAPTIONS = {  # image id -> caption as WORDS indexes
     5: [0, 2, 6, 9],    # a green bird flies
     6: [0, 3, 4, 7],    # a blue dog runs
 }
+# the ROBUST variant (BASELINE.md "caption anchor pair"): all 9
+# color x animal combinations (verb tied to the animal, so every
+# caption is fully determined by the image) plus 3 repeated combos as
+# fresh noise instances.  12 images + training far past metric
+# convergence put the optimum deep inside its basin: the metrics are
+# invariant to fp reassociation (verified against the accum_steps
+# sum-formulation), unlike the deliberately knife-edge 6-image anchor
+ROBUST_CAPTIONS = {}
+for _c in range(3):
+    for _a in range(3):
+        ROBUST_CAPTIONS[1 + len(ROBUST_CAPTIONS)] = \
+            [0, 1 + _c, 4 + _a, 7 + _a]
+for _c, _a in ((0, 0), (1, 1), (2, 2)):
+    ROBUST_CAPTIONS[1 + len(ROBUST_CAPTIONS)] = \
+        [0, 1 + _c, 4 + _a, 7 + _a]
 RAW, CROP = 112, 96
 EPOCHS = 200
+ROBUST_EPOCHS = 300
 
 
-def synthesize(root):
+def synthesize(root, captions=None):
+    captions = CAPTIONS if captions is None else captions
     img_dir = os.path.join(root, "imgs")
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.RandomState(0)
     lines = []
-    for iid, lab in CAPTIONS.items():
+    for iid, lab in captions.items():
         # dominant color from the color word, texture from the animal
         color = {1: (200, 40, 40), 2: (40, 200, 40),
                  3: (40, 40, 200)}[lab[1]]
@@ -75,10 +92,10 @@ def synthesize(root):
         fh.write("\n".join(emb) + "\n")
 
     gt = {"images": [{"id": i, "file_name": "img_%04d.jpg" % i}
-                     for i in CAPTIONS],
+                     for i in captions],
           "annotations": [{"image_id": i,
                            "caption": " ".join(WORDS[k] for k in lab)}
-                          for i, lab in CAPTIONS.items()]}
+                          for i, lab in captions.items()]}
     with open(os.path.join(root, "gt.json"), "w") as fh:
         json.dump(gt, fh)
     return paths_file
@@ -110,11 +127,12 @@ def write_pretrained_npy(root):
     return path
 
 
-def write_configs(root, paths_file):
+def write_configs(root, paths_file, run_id="cap_example",
+                  epochs=EPOCHS, num_items=6):
     pack = {"serialize": {
         "output_folder": None, "path_prepend_folder": None,
-        "input_files": [paths_file], "run_id": "cap_example",
-        "num_threads": 2, "num_items_per_thread": 6,
+        "input_files": [paths_file], "run_id": run_id,
+        "num_threads": 2, "num_items_per_thread": num_items,
         "raw_image_shape": "(%d, %d, 3)" % (RAW, RAW),
         "clip_offset_or_num": 1, "num_frames_per_clip": 1,
         "clipframe_mode": "defs.clipframe_mode.iterative",
@@ -125,7 +143,7 @@ def write_configs(root, paths_file):
     run_cfg = {"run": {
         "resume_file": None,
         "run_folder": os.path.join(root, "run"),
-        "run_id": "cap_example",
+        "run_id": run_id,
         "seed": 5,
         "mesh_shape": {"data": 1},
         "compute_dtype": "float32",
@@ -155,7 +173,7 @@ def write_configs(root, paths_file):
                           "classifier": "defs.classifier.lstm",
                           "lstm_params": [32, 1,
                                           "defs.fusion_method.avg"]}}]},
-        "train": {"batch_size": 3, "epochs": EPOCHS,
+        "train": {"batch_size": 3, "epochs": epochs,
                   "optimizer": "defs.optim.adam", "base_lr": 0.0003,
                   "lr_mult": 30.0, "lr_decay": None, "clip_norm": 5,
                   "dropout_keep_prob": 1.0},
@@ -184,13 +202,30 @@ def write_configs(root, paths_file):
 
 
 def main():
-    root = os.path.abspath(sys.argv[1] if len(sys.argv) > 1
-                           else "captioning_example")
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="captioning_example")
+    ap.add_argument("--variant", choices=("sensitive", "robust"),
+                    default="sensitive",
+                    help="sensitive: the deliberately knife-edge 6-image "
+                         "anchor; robust: 12 images + %d epochs, metrics "
+                         "converged deep inside the basin (fp-"
+                         "reassociation invariant)" % ROBUST_EPOCHS)
+    args = ap.parse_args()
+    root = os.path.abspath(args.workdir)
     os.makedirs(root, exist_ok=True)
-    paths_file = synthesize(root)
-    write_pretrained_npy(root)
-    write_configs(root, paths_file)
-    print("Prepared captioning example under %s" % root)
+    if args.variant == "robust":
+        paths_file = synthesize(root, ROBUST_CAPTIONS)
+        write_pretrained_npy(root)
+        write_configs(root, paths_file, run_id="cap_robust",
+                      epochs=ROBUST_EPOCHS,
+                      num_items=len(ROBUST_CAPTIONS))
+    else:
+        paths_file = synthesize(root)
+        write_pretrained_npy(root)
+        write_configs(root, paths_file)
+    print("Prepared %s captioning example under %s"
+          % (args.variant, root))
     print("Next: bash run_captioning.sh %s" % root)
 
 
