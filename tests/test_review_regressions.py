@@ -114,6 +114,10 @@ def test_stale_accuracy_not_harvested(tmp_path, monkeypatch):
     def fake_main(path):
         time.sleep(0.01)
         (run_folder / "accuracy_new_run").write_text("0.987")
+        time.sleep(0.01)
+        # the top-k artifacts ride along NEWER than the top-1 file; the
+        # tool must harvest the primary top-1 accuracy, not these
+        (run_folder / "accuracy_top5_new_run").write_text("1.0")
 
     import video_learning_tpu.run_task as rt
     monkeypatch.setattr(rt, "main", fake_main)

@@ -97,8 +97,13 @@ def evaluate(config_path, checkpoints_dir=None, only=None, omit=None,
                     if f.startswith("accuracy_"))
         # do_test rewrites the same accuracy_<run_id> file per run, so
         # prefer newly created files and fall back to the most recently
-        # modified one (never an arbitrary stale file)
+        # modified one (never an arbitrary stale file).  The top-k
+        # artifacts (accuracy_top<k>_<run_id>) ride along since round 3
+        # and must not shadow the primary top-1 file
         candidates = list(new) if (new := after - before) else list(after)
+        primary = [f for f in candidates
+                   if not f.startswith("accuracy_top")]
+        candidates = primary or candidates
         acc = None
         if candidates:
             newest = max(candidates, key=lambda f: os.path.getmtime(
