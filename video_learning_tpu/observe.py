@@ -23,7 +23,18 @@ class MetricsWriter:
     """Append-only JSONL scalar writer (per-run, per-phase), with an
     optional TensorBoard event-file sink (``events=True``)."""
 
-    def __init__(self, folder, run_id, timestamp=None, events=False):
+    def __init__(self, folder, run_id, timestamp=None, events=False,
+                 primary=True):
+        # multi-controller runs share the run folder; the scalar stream
+        # is a GLOBAL quantity (losses are all-host reductions), so only
+        # the primary process writes — otherwise two hosts starting in
+        # the same second would interleave duplicate lines into one file
+        self._primary = bool(primary)
+        if not self._primary:
+            self.path = None
+            self._f = None
+            self._tb = None
+            return
         os.makedirs(folder, exist_ok=True)
         # timestamped like the run logs so re-runs of the same run_id get
         # their own metrics stream instead of appending
@@ -44,6 +55,8 @@ class MetricsWriter:
                         "tensorflow is not importable; writing JSONL only")
 
     def write(self, step, **scalars):
+        if not self._primary:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v)
                     for k, v in scalars.items()})
@@ -55,11 +68,15 @@ class MetricsWriter:
                         self._tf.summary.scalar(k, float(v))
 
     def flush(self):
+        if not self._primary:
+            return
         self._f.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self):
+        if not self._primary:
+            return
         self._f.close()
         if self._tb is not None:
             self._tb.close()

@@ -435,7 +435,8 @@ def main(init_file):
     writer = MetricsWriter(settings.tensorboard_folder, settings.run_id,
                            settings.timestamp,
                            events=getattr(settings, "tensorboard_events",
-                                          False))
+                                          False),
+                           primary=jax.process_index() == 0)
 
     if settings.train:
         engine = Train(settings, feeder, model, seed=settings.seed)
