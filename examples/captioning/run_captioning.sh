@@ -13,6 +13,10 @@ WORKDIR="${1:-captioning_example}"
 VARIANT="${2:-sensitive}"
 REPO="$(cd "$(dirname "$0")/../.." && pwd)"
 export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+# anchors are recorded on the deterministic CPU backend; the box-level
+# JAX_PLATFORMS=axon (tunnelled TPU) must not leak in.  Set VLT_PLATFORM
+# to run elsewhere.
+export JAX_PLATFORMS="${VLT_PLATFORM:-cpu}"
 
 python3 "$REPO/examples/captioning/prepare_captioning.py" "$WORKDIR" \
     --variant "$VARIANT"

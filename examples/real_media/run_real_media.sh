@@ -8,6 +8,10 @@ set -euo pipefail
 WORKDIR="${1:-real_media_example}"
 REPO="$(cd "$(dirname "$0")/../.." && pwd)"
 export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+# anchors are recorded on the deterministic CPU backend; the box-level
+# JAX_PLATFORMS=axon (tunnelled TPU) must not leak in.  Set VLT_PLATFORM
+# to run elsewhere.
+export JAX_PLATFORMS="${VLT_PLATFORM:-cpu}"
 
 python3 "$REPO/examples/real_media/prepare_real_media.py" "$WORKDIR" "${@:2}"
 python3 -m video_learning_tpu.data.serialize "$WORKDIR/serialize.yml"

@@ -76,3 +76,57 @@ def test_captioning_example_prepare(tmp_path):
         assert os.path.exists(os.path.join(work, f)), f
     vocab = open(os.path.join(work, "v.vocab")).read().split()
     assert vocab[-3:] == ["UNK", "EOS", "BOS"]
+
+
+def test_acrec_multiclass_prepare(tmp_path, monkeypatch):
+    """The multi-class accuracy anchor's prepare stage (BASELINE.md
+    "multi-class accuracy anchor"): class-conditional splits with
+    DISJOINT held-out val videos, a 4x2 hue-x-orientation class grid,
+    and the bvlc-scale pretrained init the anchor fine-tunes from."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "prep_amc", os.path.join(
+            REPO, "examples/acrec_multiclass/prepare_acrec_multiclass.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # shrink the video counts for the suite; the class grid stays full
+    monkeypatch.setattr(mod, "TRAIN_VPC", 1)
+    monkeypatch.setattr(mod, "VAL_VPC", 1)
+    work = str(tmp_path / "amc")
+    monkeypatch.setattr(sys, "argv",
+                        ["prep", work, "--media", "none"])
+    mod.main()
+
+    train = open(os.path.join(work, "videos.train")).read().splitlines()
+    val = open(os.path.join(work, "videos.val")).read().splitlines()
+    assert len(train) == mod.NUM_SYNTH_CLASSES
+    assert len(val) == mod.NUM_SYNTH_CLASSES
+    # val videos are held out (no path overlap with train)
+    tpaths = {l.rsplit(" ", 1)[0] for l in train}
+    vpaths = {l.rsplit(" ", 1)[0] for l in val}
+    assert not (tpaths & vpaths)
+    # one video per class in each split here
+    assert sorted(int(l.rsplit(" ", 1)[1]) for l in train) == \
+        list(range(mod.NUM_SYNTH_CLASSES))
+    # class-conditional signal: same-class videos from the two splits
+    # are closer in mean color than cross-class pairs
+    import numpy as np
+    from PIL import Image as PILImage
+
+    def mean_rgb(line):
+        d = line.rsplit(" ", 1)[0]
+        f = sorted(os.listdir(d))[0]
+        return np.asarray(
+            PILImage.open(os.path.join(d, f)), np.float64).mean((0, 1))
+    t0, v0 = mean_rgb(train[0]), mean_rgb(val[0])
+    v4 = mean_rgb(val[4])  # different hue group (class 4 = hue 2)
+    assert np.abs(t0 - v0).sum() < np.abs(t0 - v4).sum()
+    # the bvlc-schema init exists and matches the model's spec table
+    net = np.load(os.path.join(work, "pretrained_convs.npy"),
+                  allow_pickle=True).item()
+    from video_learning_tpu.models.alexnet import _CONV_SPECS
+    for name, (kh, kw, cin, cout, _, _) in _CONV_SPECS.items():
+        assert net[name][0].shape == (kh, kw, cin, cout)
+    assert "fc6" in net
+    for f in ("serialize.yml", "train.yml", "val.yml"):
+        assert os.path.exists(os.path.join(work, f))
