@@ -247,10 +247,11 @@ def test_val_top_k_accuracy(tmp_path):
     with pytest.raises(FrameworkError, match="top_k"):
         val.get_accuracy(3)
 
-    # chunk replay: the k>1 path reads persisted chunks too.  Accuracy
-    # is the reference's mean-over-chunks (val.py:174-198), so with a
-    # 2-row chunk + 1-row tail: top-1 = mean(0.5, 0) and
-    # top-2 = mean(1.0, 0)
+    # chunk replay: the k>1 path reads persisted chunks too.  With a
+    # 2-row chunk + 1-row tail: top-1 is the reference's UNWEIGHTED
+    # mean-over-chunks (val.py:174-198) = mean(0.5, 0) = 0.25, while the
+    # top-k additions (k>1) weight each chunk by its row count
+    # (val.get_accuracies): top-2 = (2*1.0 + 1*0)/3 = 2/3
     val2, settings2, _ = _val_with_dataset(defs.batch_item.default, [1])
     settings2.run_folder = str(tmp_path)
     val2.run_folder = str(tmp_path)
@@ -261,7 +262,7 @@ def test_val_top_k_accuracy(tmp_path):
         val2.save_validation_logits_chunk()
     assert val2.validation_logits_save_counter == 1
     assert val2.get_accuracy() == pytest.approx(0.25)
-    assert val2.get_accuracy(2) == pytest.approx(0.5)
+    assert val2.get_accuracy(2) == pytest.approx(2 / 3)
 
     # get_accuracies computes every k in ONE pass over the chunks: the
     # values match the per-k calls and each chunk is unpickled once
@@ -275,7 +276,7 @@ def test_val_top_k_accuracy(tmp_path):
     val2.load_validation_logits_chunk = counting_load
     accs = val2.get_accuracies([1, 2])
     assert accs[1] == pytest.approx(0.25)
-    assert accs[2] == pytest.approx(0.5)
+    assert accs[2] == pytest.approx(2 / 3)
     assert loads[0] == val2.validation_logits_save_counter
 
 
