@@ -158,3 +158,86 @@ def test_host_sharding_with_epoch_shuffle(tmp_path):
     vids = _epoch_video_order(d)
     # second shard owns videos 2 and 3 only
     assert sorted(set(vids)) == [2, 3]
+
+
+# ------------------------------------------------ rotating shard boundary
+def test_host_shard_rotation_visits_every_item(tmp_path):
+    """7 items on 3 shards (non-divisible): the per-epoch window rotates
+    by the remainder, so the union of two consecutive epochs covers
+    EVERY item — nothing is permanently excluded — while each shard
+    keeps identical per-epoch item and step counts."""
+    cpvs = [1, 2, 1, 1, 2, 1, 3]  # ragged cpv exercises the gather map
+    base = _pack_videos(tmp_path, cpvs, fpc=2)
+    seen = set()
+    for epoch in range(2):
+        per_epoch = []
+        for idx in range(3):
+            d = _dataset(base, batch_size=2, shuffle=False,
+                         host_shards=3, host_shard_index=idx)
+            if epoch:
+                d.rewind(next_epoch=True)
+            assert d.num_items == 2
+            vids = set(_epoch_video_order(d))
+            per_epoch.append(vids)
+        # shards are disjoint within an epoch
+        assert sum(len(s) for s in per_epoch) == \
+            len(set().union(*per_epoch))
+        seen |= set().union(*per_epoch)
+    assert seen == set(range(7))
+
+
+def test_host_shard_rotation_clip_labels_stay_consistent(tmp_path):
+    """Under rotation the gather map must keep each clip's frames with
+    its own video's label, including on wrapped windows."""
+    cpvs = [1, 2, 1, 1, 2]  # 5 videos, 2 shards -> rotating
+    base = _pack_videos(tmp_path, cpvs, fpc=2)
+    for epoch in range(3):
+        for idx in range(2):
+            d = _dataset(base, batch_size=2, shuffle=False,
+                         host_shards=2, host_shard_index=idx)
+            for _ in range(epoch):
+                d.rewind(next_epoch=True)
+            while d.loop():
+                b = d.get_next_batch()
+                frames = b.visual.reshape(-1, 2, 4, 4, 3)
+                k = 0
+                for row in range(b.labels.shape[0]):
+                    vid = int(frames[k].ravel()[0]) // 36
+                    assert np.argmax(b.labels[row]) == vid
+                    k += 1
+
+
+def test_host_shard_rotation_restore_is_consistent(tmp_path):
+    """restore(batch, epoch) re-derives the SAME rotated window and
+    stream position a continuous run would have."""
+    base = _pack_videos(tmp_path, [1, 1, 1, 1, 1], fpc=2)
+    d1 = _dataset(base, batch_size=1, shuffle=False,
+                  host_shards=2, host_shard_index=0)
+    d1.rewind(next_epoch=True)  # epoch 1: window shifted by the remainder
+    batches = []
+    while d1.loop():
+        batches.append(d1.get_next_batch().visual.copy())
+    d2 = _dataset(base, batch_size=1, shuffle=False,
+                  host_shards=2, host_shard_index=0)
+    d2.restore(1, 1)
+    assert np.array_equal(d2.get_next_batch().visual, batches[1])
+
+
+def test_host_shard_rotation_composes_with_epoch_shuffle(tmp_path):
+    """Rotation + epoch_shuffle: each epoch's shard holds exactly the
+    rotated window's items (shuffled order), deterministically."""
+    base = _pack_videos(tmp_path, [1, 1, 1, 1, 1, 1, 1], fpc=2)
+    runs = []
+    for _ in range(2):
+        orders = []
+        d = _dataset(base, batch_size=2, shuffle=True,
+                     host_shards=3, host_shard_index=1)
+        for epoch in range(3):
+            if epoch:
+                d.rewind(next_epoch=True)
+            orders.append(_epoch_video_order(d))
+        runs.append(orders)
+    assert runs[0] == runs[1]  # deterministic in (seed, epoch)
+    # shard 1 of 3 with per=2, rem=1: epoch e holds items {2+e, 3+e} mod 7
+    for e, order in enumerate(runs[0]):
+        assert sorted(set(order)) == sorted({(2 + e) % 7, (3 + e) % 7})

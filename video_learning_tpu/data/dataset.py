@@ -99,6 +99,14 @@ class Dataset:
         self.host_shard_index = 0
         self._shard_record_offset = 0
         self._shard_item_offset = 0
+        # rotating-boundary state (non-divisible item counts): the full
+        # pre-shard metadata plus the current epoch's item selection
+        self._shard_rotating = False
+        self._shard_full_frames = None
+        self._shard_full_labels = None
+        self._shard_full_cpv = None
+        self._shard_item_sel = None
+        self._shard_index_map = None
         # per-epoch reshuffling (TPU-native addition)
         self.epoch_shuffle = False
         self.shuffle_seed = 0
@@ -218,6 +226,12 @@ class Dataset:
         self.initialize_imgproc()
         if self.host_shards > 1:
             self._apply_host_shard()
+        self._compute_batch_plan()
+        if self.epoch_shuffle:
+            self._build_epoch_permutation()
+        self.tell()
+
+    def _compute_batch_plan(self):
         if self.batch_item == defs.batch_item.default:
             total = self.num_items
         elif self.batch_item == defs.batch_item.clip:
@@ -229,19 +243,20 @@ class Dataset:
         self.batches = [self.batch_size] * num_whole
         if left:
             self.batches.append(left)
-        if self.epoch_shuffle:
-            self._build_epoch_permutation()
-        self.tell()
 
     def _apply_host_shard(self):
         """Multi-host input sharding: each process consumes a disjoint
-        contiguous item range (SURVEY §5 'host-sharded input pipeline').
+        item range of floor(items/shards) items (SURVEY §5 'host-sharded
+        input pipeline'), so all hosts run identical step counts and the
+        global collectives stay aligned.
 
-        Every shard gets exactly floor(items/shards) items — the last
-        ``items % shards`` items are EXCLUDED for the whole run (logged;
-        the static slice also bounds epoch_shuffle) so all hosts run
-        identical step counts and the global collectives stay aligned.
-        Pick shard counts that divide the dataset to avoid the loss.  Note: multi-host
+        When the item count divides evenly, the shard is a static
+        contiguous slice (record reads stay sequential).  Otherwise the
+        window ROTATES by the ``items % shards`` remainder each epoch —
+        deterministic in epoch_index, resume-consistent — so no training
+        item is permanently excluded: epoch e covers global items
+        [e*rem, e*rem + per*shards) mod items, and the union of any two
+        consecutive epochs is the full dataset.  Note: multi-host
         training additionally requires uniform clips-per-video so every
         host compiles identical batch shapes."""
         shards, idx = self.host_shards, self.host_shard_index
@@ -254,8 +269,15 @@ class Dataset:
                   % (self.id, self.num_items, shards))
         dropped = self.num_items - per * shards
         if dropped:
-            info("Host sharding drops %d remainder item(s) to keep "
-                 "per-host step counts identical" % dropped)
+            info("Host sharding rotates the shard boundary by the %d "
+                 "remainder item(s) each epoch; every item is visited "
+                 "across consecutive epochs" % dropped)
+            self._shard_rotating = True
+            self._shard_full_frames = self.frames
+            self._shard_full_labels = self.labels
+            self._shard_full_cpv = self.clips_per_video
+            self._select_shard_items()
+            return
         lo, hi = idx * per, (idx + 1) * per
         self._shard_item_offset = lo
         fpc = self.num_frames_per_clip or 1
@@ -271,6 +293,45 @@ class Dataset:
         self.num_items = hi - lo
         info("Host shard %d/%d: items %d..%d"
              % (idx + 1, shards, lo, hi))
+
+    def _select_shard_items(self):
+        """Pick this host's item window for the CURRENT epoch under the
+        rotating boundary (non-divisible item counts).  Record reads go
+        through a global gather index map (the same machinery
+        epoch_shuffle uses), so the wrap-around window costs nothing on
+        the indexed readers."""
+        shards, idx = self.host_shards, self.host_shard_index
+        total = len(self._shard_full_frames)
+        per = total // shards
+        rem = total - per * shards
+        start = (idx * per + self.epoch_index * rem) % total
+        sel = (start + np.arange(per)) % total
+        self._shard_item_sel = sel
+        self._shard_item_offset = int(start)
+        self.frames = [self._shard_full_frames[i] for i in sel]
+        self.labels = [self._shard_full_labels[i] for i in sel]
+        self.num_items = per
+        self._shard_record_offset = 0
+        full_cpv = self._shard_full_cpv
+        fpc = self.num_frames_per_clip or 1
+        if full_cpv is not None and not isinstance(full_cpv, int):
+            starts = np.concatenate(
+                [[0], np.cumsum([c * fpc for c in full_cpv])[:-1]]
+            ).astype(np.int64)
+            self.clips_per_video = [full_cpv[i] for i in sel]
+            self._shard_index_map = np.concatenate(
+                [starts[i] + np.arange(full_cpv[i] * fpc) for i in sel])
+        else:
+            # image/vector mode: one record per item
+            self.clips_per_video = full_cpv
+            self._shard_index_map = sel.astype(np.int64)
+        # epoch_shuffle composes its permutation on top (rebuilt from
+        # this epoch's cpv); without it the gather map is used directly
+        self._orig_cpv = None
+        self.index_map = self._shard_index_map
+        info("Host shard %d/%d (rotating, epoch %d): global items "
+             "%d..%d (mod %d)" % (idx + 1, shards, self.epoch_index,
+                                  start, start + per, total))
 
     def initialize_imgproc(self):
         if self.input_mode == defs.input_mode.vectors:
@@ -431,16 +492,23 @@ class Dataset:
         global record index; frames/labels are shard-local lists."""
         if self.input_mode != defs.input_mode.image:
             error("Failed to recover record %d" % record_index)
-        local = record_index - self._shard_record_offset
-        if not (0 <= local < len(self.frames)):
+        if self._shard_rotating:
+            # image mode: record index == global item index; the rotating
+            # shard keeps the full paths/labels lists around
+            frames, labels = self._shard_full_frames, self._shard_full_labels
+            local = record_index
+        else:
+            frames, labels = self.frames, self.labels
+            local = record_index - self._shard_record_offset
+        if not (0 <= local < len(frames)):
             error("Failed to recover record %d (outside this shard)"
                   % record_index)
-        impath = self.frames[local]
+        impath = frames[local]
         info("Manually reading source image %d: %s" % (record_index, impath))
         image = read_image(impath)
         if self.raw_image_shape is not None:
             image = imresize(image, self.raw_image_shape)
-        label = [int(x) for x in self.labels[local]]
+        label = [int(x) for x in labels[local]]
         return records.KIND_IMAGE, image, label
 
     def _process_images(self, images):
@@ -566,6 +634,9 @@ class Dataset:
         """Checkpoint-resume to a batch position (dataset_.py:534-538)."""
         self.batch_index = batch_index
         self.epoch_index = epoch_index
+        if self._shard_rotating:
+            self._select_shard_items()
+            self._compute_batch_plan()
         if self.epoch_shuffle:
             self._build_epoch_permutation()
         self.record_cursor = self._cursor_for_batch(batch_index)
@@ -580,6 +651,9 @@ class Dataset:
         self.video_index = 0
         if next_epoch:
             self.epoch_index += 1
+        if self._shard_rotating and next_epoch:
+            self._select_shard_items()
+            self._compute_batch_plan()
         if self.epoch_shuffle:
             self._build_epoch_permutation()
         if self.reader is not None:
@@ -600,23 +674,28 @@ class Dataset:
         if self.input_mode == defs.input_mode.image or \
                 self.clips_per_video is None:
             self.index_map = rng.permutation(self.num_items)
-            return
-        cpv = self._orig_cpv
-        starts = np.concatenate(
-            [[0], np.cumsum([c * fpc for c in cpv])[:-1]])
-        if self.batch_item == defs.batch_item.clip:
-            # permute clips
-            clip_starts = np.concatenate(
-                [starts[v] + np.arange(cpv[v]) * fpc
-                 for v in range(len(cpv))])
-            order = rng.permutation(len(clip_starts))
-            self.index_map = np.concatenate(
-                [clip_starts[c] + np.arange(fpc) for c in order])
         else:
-            order = rng.permutation(len(cpv))
-            self.index_map = np.concatenate(
-                [starts[v] + np.arange(cpv[v] * fpc) for v in order])
-            self.clips_per_video = [cpv[v] for v in order]
+            cpv = self._orig_cpv
+            starts = np.concatenate(
+                [[0], np.cumsum([c * fpc for c in cpv])[:-1]])
+            if self.batch_item == defs.batch_item.clip:
+                # permute clips
+                clip_starts = np.concatenate(
+                    [starts[v] + np.arange(cpv[v]) * fpc
+                     for v in range(len(cpv))])
+                order = rng.permutation(len(clip_starts))
+                self.index_map = np.concatenate(
+                    [clip_starts[c] + np.arange(fpc) for c in order])
+            else:
+                order = rng.permutation(len(cpv))
+                self.index_map = np.concatenate(
+                    [starts[v] + np.arange(cpv[v] * fpc) for v in order])
+                self.clips_per_video = [cpv[v] for v in order]
+        if self._shard_index_map is not None:
+            # rotating host shard: the permutation above is shard-local;
+            # gather through the shard's global-record map so the final
+            # index_map addresses the full record file
+            self.index_map = self._shard_index_map[self.index_map]
 
     def loop(self):
         return self.batch_index < len(self.batches)
@@ -661,6 +740,20 @@ class Dataset:
         from video_learning_tpu.data import captions
         # a host-sharded dataset decodes only items [shard_lo, shard_hi);
         # id recovery reads the global paths file, so offset accordingly
+        if self._shard_rotating:
+            # rotating shard: map shard-local rows to their global items;
+            # id recovery needs a contiguous run of the paths file, which
+            # a wrapped window (train epochs > 0 only) cannot provide
+            sel = self._shard_item_sel[start_index:
+                                       start_index + len(logits)]
+            if len(sel) and not np.array_equal(
+                    sel, sel[0] + np.arange(len(sel))):
+                error("Caption id recovery across a wrapped rotating "
+                      "shard window is unsupported; use divisible "
+                      "host_shards for caption validation")
+            offset = int(sel[0]) if len(sel) else 0
+            return captions.validation_logits_to_captions(
+                logits, self.path, self.vocabulary, self.eval_type, offset)
         return captions.validation_logits_to_captions(
             logits, self.path, self.vocabulary, self.eval_type,
             self._shard_item_offset + start_index)
