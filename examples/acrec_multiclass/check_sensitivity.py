@@ -36,28 +36,51 @@ def main():
     clean = {f: open(os.path.join(run_dir, f)).read()
              for f in acc_files}
     clean_top1 = float(clean[top1_name])
+    # the bugged run must REWRITE the top-1 file — remove it up front so
+    # a re-run that dies before writing cannot leave the stale clean
+    # value to be read back as "bugged" (clean-vs-clean would report
+    # ANCHOR INSENSITIVE misleadingly)
+    os.remove(os.path.join(run_dir, top1_name))
+    files_before = set(os.listdir(run_dir))
 
     from video_learning_tpu import run_task
     from video_learning_tpu.val import Validation
     orig = Validation.apply_clip_fusion
 
     def fencepost(self, clips_logits, cpv, video_labels, clip_fusion):
-        # off-by-one: the cpv-row fusion window starts one clip late,
-        # wrapping the block's last row in — misattributes one clip
-        # across every video boundary
-        return orig(self, np.roll(clips_logits, -1, axis=0), cpv,
-                    video_labels, clip_fusion)
+        # off-by-one: the cpv-row fusion window starts one clip late.
+        # np.roll alone is a set-preserving permutation whenever the
+        # buffer holds exactly cpv rows (the last video of every
+        # buffer), leaving avg fusion unchanged there — so the wrapped
+        # last row is additionally replaced with a genuinely foreign
+        # row (the first row with its class axis reversed), guaranteeing
+        # every video boundary sees misattributed content.
+        shifted = np.roll(np.asarray(clips_logits), -1, axis=0).copy()
+        shifted[-1] = shifted[-1][::-1]
+        return orig(self, shifted, cpv, video_labels, clip_fusion)
 
     Validation.apply_clip_fusion = fencepost
+    bugged_top1 = None
     try:
         run_task.main(os.path.join(work, "val.yml"))
     finally:
         Validation.apply_clip_fusion = orig
-        bugged_top1 = float(
-            open(os.path.join(run_dir, top1_name)).read())
+        bugged_path = os.path.join(run_dir, top1_name)
+        if os.path.exists(bugged_path):
+            bugged_top1 = float(open(bugged_path).read())
         for f, v in clean.items():  # anchor artifacts stay clean
             with open(os.path.join(run_dir, f), "w") as fh:
                 fh.write(v)
+        # the bugged run also writes validation_logits_* chunk/total
+        # files; drop anything new so downstream logits tools
+        # (combine_logits, compute_evaluation_stats, view_logits_info)
+        # can never consume logits produced under the injected bug
+        for f in sorted(set(os.listdir(run_dir)) - files_before):
+            if f.startswith("validation_logits_"):
+                os.remove(os.path.join(run_dir, f))
+    if bugged_top1 is None:
+        sys.exit("bugged re-run did not rewrite %s — cannot measure "
+                 "sensitivity" % top1_name)
 
     print("clean top-1:    %.5f" % clean_top1)
     print("fencepost top-1: %.5f" % bugged_top1)

@@ -38,7 +38,6 @@ import argparse
 import io
 import os
 import re
-import sys
 import zipfile
 
 import numpy as np
@@ -173,9 +172,18 @@ def write_pretrained_npy(root):
     specs = {name: (kh, kw, cin, cout)
              for name, (kh, kw, cin, cout, _, _)
              in alexnet._CONV_SPECS.items()}
-    net_data = {name: [rng.randn(*shp).astype(np.float32) * 0.01,
-                       np.full(shp[-1], 0.1, np.float32)]
-                for name, shp in specs.items()}
+    # He-scaled conv weights (std = sqrt(2 / fan_in)) so activations AND
+    # gradients propagate through the 5-layer ReLU stack at O(1): the
+    # captioning example's flat 3e-5/0.01 scales are fine for 12-image
+    # memorization, but here the model must GENERALIZE the class signal
+    # through the random conv stack — with flat 0.01 convs the signal
+    # contracts ~100x before fc6 and 270 Adam steps never leave the
+    # ln(num_classes) loss floor (measured: top-1 0.115 ~ chance)
+    net_data = {name: [
+        (rng.randn(*shp).astype(np.float32)
+         * np.sqrt(2.0 / (shp[0] * shp[1] * shp[2])).astype(np.float32)),
+        np.zeros(shp[-1], np.float32)]
+        for name, shp in specs.items()}
     fc6_in = alexnet.conv_output_flat_dim((CROP, CROP, 3))
     net_data["fc6"] = [rng.randn(fc6_in, 4096).astype(np.float32) * 3e-5,
                        np.zeros(4096, np.float32)]

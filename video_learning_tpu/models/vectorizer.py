@@ -22,7 +22,7 @@ Contract with the pipeline builder:
 from video_learning_tpu.models import alexnet, lstm as lstm_mod
 from video_learning_tpu.models.layers import (convert_dim_fc_apply,
                                               convert_dim_fc_init)
-from video_learning_tpu.utils import error, warning
+from video_learning_tpu.utils import error, warning_once
 
 
 class Vectorizer:
@@ -85,9 +85,11 @@ class NOP(Vectorizer):
 
     def apply(self, params, x, compute_dtype=None, quant=None):
         if quant:
-            # trace-time (once per compile), not per batch
-            warning("quantize=%s has no effect on a [nop] representation"
-                    % quant)
+            # trace-time advisory, deduplicated across compiles AND
+            # across quantize modes (int8 + int8_static would otherwise
+            # repeat it once per mode)
+            warning_once("quantize=%s has no effect on a [nop] "
+                         "representation" % quant, key="nop-quantize")
         return x
 
 
@@ -161,12 +163,12 @@ class FC(Vectorizer):
     def apply(self, params, x, compute_dtype=None, quant=None):
         self.require_input(x.shape, 2)
         if quant:
-            # trace-time (once per compile): the FC encoder is a single
-            # skinny matmul — int8 would save nothing, but the user must
-            # know this pipeline runs unquantized
-            warning("quantize=%s is implemented for DCNN frame encoders "
-                    "only; the [FC] representation runs unquantized"
-                    % quant)
+            # trace-time advisory (deduplicated): the FC encoder is a
+            # single skinny matmul — int8 would save nothing, but the
+            # user must know this pipeline runs unquantized
+            warning_once("quantize=%s is implemented for DCNN frame "
+                         "encoders only; the [FC] representation runs "
+                         "unquantized" % quant, key="fc-quantize")
         return convert_dim_fc_apply(params, x, compute_dtype)
 
 

@@ -161,6 +161,21 @@ def warning(message, email=False):
         CustomLogger.email(message, "WARNING")
 
 
+_ONCE_SEEN = set()
+
+
+def warning_once(message, email=False, key=None):
+    """``warning`` deduplicated on ``key`` (default: the message text) —
+    for trace-time advisories that would otherwise repeat once per
+    compile (e.g. the nop-representation quantize notice under multiple
+    quantize modes)."""
+    key = message if key is None else key
+    if key in _ONCE_SEEN:
+        return
+    _ONCE_SEEN.add(key)
+    warning(message, email=email)
+
+
 def debug(message):
     logging.getLogger(CustomLogger.loggername).debug(message)
 
