@@ -5,9 +5,10 @@ have no regression-detection power in the middle band — the real-media
 anchor is top-1 = 1.000 on the reference's 2-video UCF subset
 (/root/reference/examples/data/videos/readme.txt:1), which stays 1.000
 under a wide range of eval bugs, while the caption anchor is knife-edge.
-This example is built to land reproducibly in the ~0.6-0.9 top-1 band so
-that eval-chain regressions (clip-fusion misalignment, label permutation,
-mean-sub errors) MOVE the number.  It mirrors the reference's accuracy
+This example is built to land reproducibly in the mid top-1 band
+(measured 0.500 at the recorded recipe — BASELINE.md "multi-class
+accuracy anchor") so that eval-chain regressions (clip-fusion
+misalignment, label permutation, mean-sub errors) MOVE the number.  It mirrors the reference's accuracy
 artifact (/root/reference/run_task.py:109-111) with top-1 and top-5.
 
 Design:
@@ -185,8 +186,16 @@ def write_pretrained_npy(root):
         np.zeros(shp[-1], np.float32)]
         for name, shp in specs.items()}
     fc6_in = alexnet.conv_output_flat_dim((CROP, CROP, 3))
-    net_data["fc6"] = [rng.randn(fc6_in, 4096).astype(np.float32) * 3e-5,
-                       np.zeros(4096, np.float32)]
+    # fc6 at He scale too: with the kernel at sqrt(2/fan_in) the unit-std
+    # calibration below is a mild O(1) correction, so the final kernel
+    # stays at a scale Adam's ~lr-sized per-weight steps can fine-tune
+    # rather than obliterate (a 3e-5-scale kernel is erased by ONE
+    # 1e-4 Adam step — measured: e2e training never left the
+    # ln(num_classes) floor while the frozen-encoder probe learned)
+    net_data["fc6"] = [
+        rng.randn(fc6_in, 4096).astype(np.float32)
+        * np.float32(np.sqrt(2.0 / fc6_in)),
+        np.zeros(4096, np.float32)]
 
     # calibration batch: 8 freshly rendered frames spanning the grid
     cal_rng = np.random.RandomState(300)
@@ -199,6 +208,13 @@ def write_pretrained_npy(root):
         y, x = (RAW_H - CROP) // 2, (RAW_W - CROP) // 2
         frames.append(img[y:y + CROP, x:x + CROP].astype(np.float32)
                       - np.array([104.0, 117.0, 123.0], np.float32))
+    # normalize at the ENTRANCE: mean-subbed pixels arrive at std ~45,
+    # and He layers preserve relative scale, so fold 1/std(input) into
+    # conv1 — every downstream activation then sits at O(1) and the fc6
+    # unit-std calibration below is a mild correction instead of a 50x
+    # shrink that would leave the fc6 kernel Adam-fragile again
+    in_std = float(np.std(np.stack(frames)))
+    net_data["conv1"][0] *= np.float32(1.0 / in_std)
     path = os.path.join(root, "pretrained_convs.npy")
     np.save(path, np.asarray(net_data, dtype=object), allow_pickle=True)
     params = alexnet.init(jax.random.PRNGKey(0), num_classes=None,
@@ -211,11 +227,12 @@ def write_pretrained_npy(root):
         raise RuntimeError("fc6 calibration produced std=%r" % std)
     net_data["fc6"][0] *= np.float32(1.0 / std)
     np.save(path, np.asarray(net_data, dtype=object), allow_pickle=True)
-    print("calibrated fc6: pre-scale std %.3g -> 1.0" % std)
+    print("calibrated: input std %.3g folded into conv1; fc6 pre-scale "
+          "std %.3g -> 1.0" % (in_std, std))
     return path
 
 
-def write_configs(root, num_classes, weights_npy):
+def write_configs(root, num_classes, weights_npy, epochs=30):
     base_ser = {
         "output_folder": None,
         "path_prepend_folder": None,
@@ -261,6 +278,10 @@ def write_configs(root, num_classes, weights_npy):
         "seed": 7,
         "compile_cache": True,
         "mesh_shape": {"data": 1},
+        # anchors are recorded on the host CPU backend; float32 keeps
+        # the recorded values at full precision (bf16 buys nothing on
+        # CPU), matching the captioning anchor's choice
+        "compute_dtype": "float32",
         "phase": "defs.phase.train",
         "data": data_block("train", "defs.phase.train",
                            ["defs.imgproc.rand_crop",
@@ -280,9 +301,17 @@ def write_configs(root, num_classes, weights_npy):
                     "classifier": "defs.classifier.lstm",
                     "lstm_params": [64, 1, "defs.fusion_method.avg"]}}]},
         "train": {
-            "batch_size": 4, "epochs": 30,
-            "optimizer": "defs.optim.adam", "base_lr": 0.001,
-            "lr_mult": 2.0,
+            "batch_size": 4, "epochs": epochs,
+            # two-tier LRs sized to the synthesized kernel scales: the
+            # smallest encoder kernels sit at ~1.6e-3, and Adam's
+            # per-weight step is ~lr regardless of gradient scale, so an
+            # encoder tier above ~1e-5 churns those kernels faster than
+            # the classifier can track (measured: loss pinned at the
+            # ln(num_classes) floor at base_lr 1e-3 AND 1e-4, while the
+            # same run with the encoder frozen descends normally).  The
+            # classifier tier trains at base_lr x lr_mult = 1e-3.
+            "optimizer": "defs.optim.adam", "base_lr": 0.00001,
+            "lr_mult": 100.0,
             "lr_decay": ["defs.decay.exp", "defs.periodicity.drops",
                          2, 0.5],
             "clip_norm": 10, "dropout_keep_prob": 0.5},
@@ -308,6 +337,8 @@ def write_configs(root, num_classes, weights_npy):
 
 
 def main():
+    global RAW_H, RAW_W, CROP, FRAMES_PER_VIDEO, FPC, CPV
+    global TRAIN_VPC, VAL_VPC
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default="acrec_multiclass")
     ap.add_argument("--media", default=DEFAULT_MEDIA,
@@ -315,7 +346,18 @@ def main():
                          "real classes, or 'none' to skip them "
                          "(default: the reference's UCF101 subset; "
                          "silently skipped when absent)")
+    ap.add_argument("--fast", action="store_true",
+                    help="reduced-cost CI variant: smaller raster/"
+                         "fewer frames/fewer epochs, same class "
+                         "structure and mid-band design — used by the "
+                         "in-suite anchor test (tests/test_examples.py)")
     args = ap.parse_args()
+    epochs = 40
+    if args.fast:
+        RAW_H, RAW_W, CROP = 80, 104, 67
+        FRAMES_PER_VIDEO, FPC, CPV = 4, 2, 1
+        TRAIN_VPC, VAL_VPC = 3, 2
+        epochs = 12
     root = os.path.abspath(args.workdir)
     os.makedirs(root, exist_ok=True)
     train_lines = synthesize_split(root, "train", TRAIN_VPC, seed=100)
@@ -334,7 +376,7 @@ def main():
     with open(os.path.join(root, "videos.val"), "w") as fh:
         fh.write("\n".join(val_lines) + "\n")
     weights_npy = write_pretrained_npy(root)
-    write_configs(root, num_classes, weights_npy)
+    write_configs(root, num_classes, weights_npy, epochs=epochs)
     print("Prepared %d-class anchor (%d train / %d val videos) under %s"
           % (num_classes, len(train_lines), len(val_lines), root))
     print("Next: bash run_acrec_multiclass.sh %s" % root)

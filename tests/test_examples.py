@@ -78,6 +78,36 @@ def test_captioning_example_prepare(tmp_path):
     assert vocab[-3:] == ["UNK", "EOS", "BOS"]
 
 
+def test_acrec_multiclass_fast_anchor_end_to_end(tmp_path):
+    """The multi-class anchor's regression-detection power, in-suite
+    (BASELINE.md "multi-class accuracy anchor"): the reduced --fast
+    variant through the REAL CLI chain (pack -> train -> held-out val)
+    must land top-1 in the mid band — eval-chain bugs crater it, while
+    nothing can push it to 1.0 (the orientation dimension's per-video
+    amplitude draw makes the ceiling structural) — and the injected
+    clip-fusion fencepost (check_sensitivity) must MOVE it."""
+    work = str(tmp_path / "amcf")
+    _run_script("examples/acrec_multiclass/prepare_acrec_multiclass.py",
+                [work, "--media", "none", "--fast"])
+    from video_learning_tpu.data import serialize as ser
+    ser.main(["serialize", os.path.join(work, "serialize.yml")])
+    from video_learning_tpu import run_task
+    run_task.main(os.path.join(work, "train.yml"))
+    run_task.main(os.path.join(work, "val.yml"))
+    acc_path = os.path.join(work, "run",
+                            "accuracy_acrec_multiclass_val_resume")
+    top1 = float(open(acc_path).read())
+    top5 = float(open(os.path.join(
+        work, "run", "accuracy_top5_acrec_multiclass_val_resume")).read())
+    assert 0.30 <= top1 <= 0.98, top1
+    assert top5 >= top1
+    # regression-detection power: the injected fusion fencepost must
+    # move top-1 (check_sensitivity exits nonzero if it does not, and
+    # restores the clean artifacts afterwards)
+    _run_script("examples/acrec_multiclass/check_sensitivity.py", [work])
+    assert float(open(acc_path).read()) == top1  # clean values restored
+
+
 def test_acrec_multiclass_prepare(tmp_path, monkeypatch):
     """The multi-class accuracy anchor's prepare stage (BASELINE.md
     "multi-class accuracy anchor"): class-conditional splits with
