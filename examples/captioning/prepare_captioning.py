@@ -44,24 +44,30 @@ CAPTIONS = {  # image id -> caption as WORDS indexes
     5: [0, 2, 6, 9],    # a green bird flies
     6: [0, 3, 4, 7],    # a blue dog runs
 }
-# the ROBUST variant (BASELINE.md "caption anchor pair"): all 9
-# color x animal combinations (verb tied to the animal, so every
-# caption is fully determined by the image) plus 3 repeated combos as
-# fresh noise instances.  12 images + training far past metric
-# convergence put the optimum deep inside its basin: the metrics are
-# invariant to fp reassociation (verified against the accum_steps
-# sum-formulation), unlike the deliberately knife-edge 6-image anchor
+# the ROBUST variant (BASELINE.md "caption anchor pair"): three combos
+# whose captions are fully determined by the image's COLOR — the one
+# dimension the synthesized encoder conditions on perfectly — each
+# synthesized FOUR times as independent noise instances (12 images).
+# Training converges to exact captions for every image (metrics
+# saturate), putting the optimum deep inside its basin: the metrics are
+# invariant to fp reassociation — verified by re-running under the
+# accum_steps sum-formulation, which reassociates the whole backward
+# pass (BASELINE.md "anchor-drift forensics") — unlike the deliberately
+# knife-edge 6-image anchor.  Designs whose captions additionally hinge
+# on the texture dimension were tried and REJECTED for this role: the
+# teacher-forced loss learns texture partially but the free-running
+# decode collapses it to a per-color mode whose identity IS
+# fp-reassociation-sensitive (measured: Bleu_4 0.595 vs 0.867 between
+# the mean- and sum-formulations of the same training run).
 ROBUST_CAPTIONS = {}
-for _c in range(3):
-    for _a in range(3):
+for _rep in range(4):
+    for _c in range(3):
         ROBUST_CAPTIONS[1 + len(ROBUST_CAPTIONS)] = \
-            [0, 1 + _c, 4 + _a, 7 + _a]
-for _c, _a in ((0, 0), (1, 1), (2, 2)):
-    ROBUST_CAPTIONS[1 + len(ROBUST_CAPTIONS)] = \
-        [0, 1 + _c, 4 + _a, 7 + _a]
+            [0, 1 + _c, 4 + _c, 7 + _c]
 RAW, CROP = 112, 96
 EPOCHS = 200
 ROBUST_EPOCHS = 300
+ROBUST_LSTM = 64
 
 
 def synthesize(root, captions=None):
@@ -128,7 +134,7 @@ def write_pretrained_npy(root):
 
 
 def write_configs(root, paths_file, run_id="cap_example",
-                  epochs=EPOCHS, num_items=6):
+                  epochs=EPOCHS, num_items=6, lstm_hidden=32):
     pack = {"serialize": {
         "output_folder": None, "path_prepend_folder": None,
         "input_files": [paths_file], "run_id": run_id,
@@ -171,7 +177,7 @@ def write_configs(root, paths_file, run_id="cap_example",
                 {"capt": {"input": "enc",
                           "representation": "defs.representation.nop",
                           "classifier": "defs.classifier.lstm",
-                          "lstm_params": [32, 1,
+                          "lstm_params": [lstm_hidden, 1,
                                           "defs.fusion_method.avg"]}}]},
         "train": {"batch_size": 3, "epochs": epochs,
                   "optimizer": "defs.optim.adam", "base_lr": 0.0003,
@@ -219,7 +225,8 @@ def main():
         write_pretrained_npy(root)
         write_configs(root, paths_file, run_id="cap_robust",
                       epochs=ROBUST_EPOCHS,
-                      num_items=len(ROBUST_CAPTIONS))
+                      num_items=len(ROBUST_CAPTIONS),
+                      lstm_hidden=ROBUST_LSTM)
     else:
         paths_file = synthesize(root)
         write_pretrained_npy(root)
