@@ -175,3 +175,35 @@ def test_count_clips_uses_visual_rows_not_label_grid():
     # main: 2 clips x 8 fpc = 16 frame rows; aux: 6 vector rows (fpc None)
     batches = {"main": B(16), "aux": B(6)}
     assert _count_clips(batches, {"main": 8, "aux": None}) == 2 + 6
+
+
+def test_compile_cache_dir_rebinds_within_process(tmp_path):
+    """JAX binds its persistent compilation cache object at the FIRST
+    compile that sees a configured dir and ignores later dir changes;
+    config.py must reset that binding so a multi-run process (eval
+    fan-outs, the suite itself) writes each run's executables into THAT
+    run's directory (round-5 ordering failure: the multiclass anchor's
+    compile_cache: True starved test_compile_cache_persists_executables'
+    tmpdir)."""
+    import jax
+    import jax.numpy as jnp
+    from video_learning_tpu.config import enable_compile_cache
+
+    dir_a, dir_b = tmp_path / "a", tmp_path / "b"
+    try:
+        enable_compile_cache(str(dir_a))
+        jax.jit(lambda x: x * 2.0 + 1.0)(jnp.arange(8.0)).block_until_ready()
+        assert list(dir_a.iterdir()), "dir A received no executables"
+        enable_compile_cache(str(dir_b))
+        jax.jit(lambda x: x * 3.0 - 2.0)(jnp.arange(9.0)).block_until_ready()
+        assert list(dir_b.iterdir()), (
+            "dir B empty: the persistent-cache binding did not follow "
+            "the configured dir change")
+    finally:
+        from jax.experimental.compilation_cache import \
+            compilation_cache as _cc
+        _cc.reset_cache()
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

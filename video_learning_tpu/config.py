@@ -89,6 +89,34 @@ class CaptionOpts:
     length_norm = 0.0
 
 
+def enable_compile_cache(value):
+    """Point JAX's persistent XLA compilation cache at ``value`` (a
+    directory path, or True for the default user cache) and return the
+    resolved path.  Executables from previous processes are reused, so
+    restarts / preemption resumes / multi-checkpoint eval fan-outs skip
+    the 20-40 s TPU compile.
+
+    JAX binds the persistent cache object ONCE, at the first compile
+    that sees a configured dir; a later dir change via config.update is
+    silently ignored for the rest of the process.  Multi-run processes
+    (eval fan-outs, the test suite) do change it — drop any existing
+    binding so THIS run's directory takes effect (the disk cache itself
+    persists; only the in-process handle resets)."""
+    path = value if isinstance(value, str) \
+        else "~/.cache/video_learning_tpu/xla"
+    path = os.path.abspath(os.path.expanduser(path))
+    os.makedirs(path, exist_ok=True)
+    import jax
+    from jax.experimental.compilation_cache import compilation_cache
+    compilation_cache.reset_cache()
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every executable (the default 1 s threshold would skip
+    # small-geometry runs entirely; entries are cheap)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
+
+
 class Settings:
     """Run settings: parses and validates the ``run:`` YAML document and
     instantiates the Feeder with its datasets."""
@@ -269,21 +297,8 @@ class Settings:
         # Value: a directory path, or True for the default user cache.
         self.compile_cache = config.get("compile_cache")
         if self.compile_cache:
-            path = (self.compile_cache if isinstance(self.compile_cache,
-                                                     str)
-                    else "~/.cache/video_learning_tpu/xla")
-            path = os.path.abspath(os.path.expanduser(path))
-            os.makedirs(path, exist_ok=True)
-            import jax
-            jax.config.update("jax_compilation_cache_dir", path)
-            # cache every executable (the default 1 s threshold would
-            # skip small-geometry runs entirely; entries are cheap)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              0.0)
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                              0)
-            self.compile_cache = path
-            info("Persistent compilation cache: %s" % path)
+            self.compile_cache = enable_compile_cache(self.compile_cache)
+            info("Persistent compilation cache: %s" % self.compile_cache)
         self.checkpoint_backend = str(config.get("checkpoint_backend",
                                                  "npz"))
         if self.checkpoint_backend == "pickle":
