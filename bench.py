@@ -32,6 +32,19 @@ import numpy as np
 CPU_BASELINE_CLIPS_PER_SEC = 0.236
 
 
+def _force_cpu():
+    """Pin this process to the host CPU backend.  Setting only the jax
+    config is NOT enough: init_platform honors an explicit
+    JAX_PLATFORMS/VLT_PLATFORM environment variable (this image's
+    profile exports JAX_PLATFORMS=axon, the tunnelled TPU) and would
+    re-route a --cpu proxy measurement back onto the accelerator."""
+    import os
+    os.environ["VLT_PLATFORM"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
 def build(batch_clips, fpc, raw_hw, crop, num_classes, compute_dtype):
     """Flagship model + engine via the shared builder in __graft_entry__
     (one source of truth for the benchmark/dryrun model config)."""
@@ -150,7 +163,7 @@ def run_e2e(args):
     import os
     import jax
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        _force_cpu()
     from video_learning_tpu.parallel.mesh import init_platform
     init_platform()
     on_cpu = jax.devices()[0].platform == "cpu"
@@ -325,7 +338,7 @@ def run_eval(args):
         force_cpu = cpu_fallback = True
     import jax
     if force_cpu:
-        jax.config.update("jax_platforms", "cpu")
+        _force_cpu()
     from video_learning_tpu.parallel.mesh import init_platform
     init_platform()
     on_cpu = jax.devices()[0].platform == "cpu"
@@ -418,7 +431,7 @@ def run_latency(args):
         force_cpu = cpu_fallback = True
     import jax
     if force_cpu:
-        jax.config.update("jax_platforms", "cpu")
+        _force_cpu()
     from video_learning_tpu.parallel.mesh import init_platform
     init_platform()
     on_cpu = jax.devices()[0].platform == "cpu"
@@ -503,6 +516,206 @@ def run_latency(args):
     return result
 
 
+# CPU-proxy baselines for the caption workload (python bench.py --cpu
+# --caption-train / --caption-decode, batch 1 like the other proxies),
+# recorded in BASELINE.md.  Generous proxies: the reference's decode is
+# an UNROLLED per-item python loop (ref lstm.py:379-460,630-724), these
+# run our batched lax.scan implementation on the host backend.
+CPU_CAPTION_TRAIN_BASELINE_CAPS_PER_SEC = 0.68
+CPU_CAPTION_DECODE_BASELINE_CAPS_PER_SEC = 9.732
+
+
+def _caption_build(args, on_cpu):
+    """Caption flagship at production scale: bvlc-geometry AlexNet fc7
+    encoder (227x227, device preprocessing), state_bias visual
+    conditioning, a realistic vocabulary/embedding table and caption
+    grid.  Shares __graft_entry__._flagship so bench and dryrun can
+    never diverge on the model config."""
+    import __graft_entry__ as graft
+    from video_learning_tpu.train import Train
+
+    compute_dtype = "float32" if on_cpu else "bfloat16"
+    batch = args.batch_clips or (1 if on_cpu else 64)
+    settings, model = graft._flagship(
+        num_classes=args.vocab, fpc=1, image=227,
+        lstm=(args.cap_hidden, 1),
+        raw_hw=(240, 320), mean_scalars=[104.0, 117.0, 123.0],
+        device_preprocess=True, batch_size=batch,
+        compute_dtype=compute_dtype, num_batches=1000, base_lr=0.001,
+        lr_mult=None, clip_norm=10.0, mesh_shape={"data": 1},
+        caption=True, emb_dim=args.emb_dim, max_T=args.max_t)
+    engine = Train(settings, settings.feeder, model, seed=0)
+    engine.place_params()
+    return settings, model, engine, batch
+
+
+def _caption_raw_feed(settings, model, batch, rng):
+    """Raw-frame caption feed: uint8 240x320 frames + crop/mirror params
+    (device preprocessing does the rest) plus the padded word grid /
+    lengths / masks / scattered one-hot labels, the exact layout
+    run_task._prepare_feed assembles from real batches."""
+    import __graft_entry__ as graft
+    raw_hw, crop = (240, 320), 227
+    feed = graft._caption_feed(settings, model, fpc=1, image=crop)
+    n = feed["frames_main_input"].shape[0]
+    feed["frames_main_input"] = rng.randint(
+        0, 256, (n,) + raw_hw + (3,), np.uint8)
+    prms = np.zeros((n, 3), np.int32)
+    prms[:, 0] = rng.randint(0, raw_hw[0] - crop + 1, n)
+    prms[:, 1] = rng.randint(0, raw_hw[1] - crop + 1, n)
+    prms[:, 2] = rng.randint(0, 2, n)
+    feed["frames_main_input/proc_params"] = prms
+    return feed
+
+
+def run_caption_train(args):
+    """Caption training throughput: full optimizer steps of the
+    captioning workload (uint8 frame -> device crop/mean/mirror ->
+    AlexNet fc7 -> state_fc -> masked LSTM over the (B, T) word grid ->
+    per-word softmax-CE over the vocabulary -> SGD update), captions/s
+    and word-grid tokens/s per chip.  Same scan-fused host-free timing
+    as the acrec benchmark."""
+    force_cpu = args.cpu
+    cpu_fallback = False
+    if not force_cpu and not _probe_accelerator():
+        sys.stderr.write("Accelerator unresponsive; caption bench on CPU\n")
+        force_cpu = cpu_fallback = True
+    import jax
+    if force_cpu:
+        _force_cpu()
+    from video_learning_tpu.parallel.mesh import init_platform
+    init_platform()
+    on_cpu = jax.devices()[0].platform == "cpu"
+
+    settings, model, engine, batch = _caption_build(args, on_cpu)
+    rng = np.random.RandomState(0)
+    feed = _caption_raw_feed(settings, model, batch, rng)
+
+    import jax.numpy as jnp
+    steps = args.steps or (2 if on_cpu else 10)
+    feed = engine._pad_feed(feed)
+    feed_dev = engine._shard_feed(feed)
+    many = engine.compile_scan_steps(steps)
+    rng_key = jax.random.PRNGKey(0)
+    beat = _start_stall_watchdog()
+    p, o, m = many(engine.params, engine.opt_state, feed_dev,
+                   jnp.asarray(0), rng_key)
+    _ = float(m["loss"][-1])
+    beat()
+    p, o, m = many(p, o, feed_dev, jnp.asarray(0), rng_key)
+    _ = float(m["loss"][-1])
+    beat()
+    reps = 1 if on_cpu else 5
+    times = []
+    for r in range(reps):
+        tic = time.time()
+        p, o, m = many(p, o, feed_dev, jnp.asarray((r + 1) * steps),
+                       rng_key)
+        loss_last = float(m["loss"][-1])
+        times.append(time.time() - tic)
+        beat()
+        assert np.isfinite(loss_last)
+    dt = float(np.median(times))
+    caps_per_sec = batch * steps / dt
+    # the device computes the full padded (B, T) grid every step (static
+    # shapes), so padded tokens/s is the work rate
+    tokens_per_sec = caps_per_sec * args.max_t
+    metric = ("caption_train_captions_per_sec_per_chip_vocab%d_T%d"
+              % (args.vocab, args.max_t))
+    if cpu_fallback:
+        metric += "_CPUFALLBACK_tpu_unreachable"
+    base = CPU_CAPTION_TRAIN_BASELINE_CAPS_PER_SEC
+    result = {
+        "metric": metric,
+        "value": round(caps_per_sec, 3),
+        "unit": "captions/s",
+        "vs_baseline": (round(caps_per_sec / base, 2) if base else None),
+        "tokens_per_sec": round(tokens_per_sec, 1),
+        "batch": batch,
+    }
+    print(json.dumps(result))
+    return result
+
+
+def run_caption_decode(args):
+    """Caption decode throughput at the export batch buckets: uint8
+    frame -> device preprocessing -> AlexNet fc7 -> batched greedy (or
+    beam, --beam) feedback search over T timesteps -> (B, T) word ids.
+    This is the graph tools/export_serving packs into decode .vlx
+    artifacts; the reference runs this as a per-item unrolled python
+    loop (ref lstm.py:630-724), here it is one lax.scan program over
+    the whole batch."""
+    force_cpu = args.cpu
+    cpu_fallback = False
+    if not force_cpu and not _probe_accelerator():
+        sys.stderr.write("Accelerator unresponsive; decode bench on CPU\n")
+        force_cpu = cpu_fallback = True
+    import jax
+    if force_cpu:
+        _force_cpu()
+    from video_learning_tpu.parallel.mesh import init_platform
+    init_platform()
+    on_cpu = jax.devices()[0].platform == "cpu"
+
+    from video_learning_tpu.defs import defs
+    args.batch_clips = args.batch_clips or (1 if on_cpu else 64)
+    settings, model, engine, cap = _caption_build(args, on_cpu)
+    if args.beam:
+        settings.captioning.caption_search = defs.caption_search.beam
+        settings.captioning.beam_width = args.beam_width
+
+    from video_learning_tpu.ops.preprocess import make_preprocessor
+    from video_learning_tpu.tools.profile_ablation import _timed
+    dset = settings.feeder.get_dataset_by_tag(defs.dataset_tag.main)[0]
+    pre = make_preprocessor(dset.processor, out_dtype=model.compute_dtype)
+
+    def dec(params, prms, frames):
+        x = pre(frames, prms)
+        return model.apply(params, {"frames_main_input": x}, train=False,
+                           decode=True)
+
+    raw_hw, crop = (240, 320), 227
+    rng = np.random.RandomState(0)
+    buckets = sorted({1, 8, 32, cap} if not on_cpu else {1, cap})
+    buckets = [b for b in buckets if b <= cap]
+    beat = _start_stall_watchdog()
+    steps = args.steps or (2 if on_cpu else 10)
+    per_bucket = {}
+    for b in buckets:
+        raw = jax.device_put(
+            rng.randint(0, 256, (b,) + raw_hw + (3,), np.uint8))
+        prms = np.zeros((b, 3), np.int32)
+        prms[:, 0] = rng.randint(0, raw_hw[0] - crop + 1, b)
+        prms[:, 1] = rng.randint(0, raw_hw[1] - crop + 1, b)
+        prms = jax.device_put(prms)
+        beat()
+        sec = _timed(dec, engine.params, prms, raw, inner=steps,
+                     reps=1 if on_cpu else 3)
+        beat()
+        per_bucket[b] = round(b / sec, 3)
+        sys.stderr.write("bucket %3d: %.3f ms/call = %.1f captions/s\n"
+                         % (b, sec * 1000, b / sec))
+
+    search = "beam%d" % args.beam_width if args.beam else "greedy"
+    metric = ("caption_%s_decode_captions_per_sec_per_chip_vocab%d_T%d"
+              % (search, args.vocab, args.max_t))
+    if cpu_fallback:
+        metric += "_CPUFALLBACK_tpu_unreachable"
+    best = max(per_bucket.values())
+    base = CPU_CAPTION_DECODE_BASELINE_CAPS_PER_SEC
+    result = {
+        "metric": metric,
+        "value": best,
+        "unit": "captions/s",
+        "vs_baseline": (round(best / base, 2)
+                        if base and not args.beam else None),
+        "tokens_per_sec": round(best * args.max_t, 1),
+        "per_bucket_captions_per_sec": per_bucket,
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
@@ -523,7 +736,26 @@ def main():
                          "static activation scales (no per-batch amax)")
     ap.add_argument("--latency", action="store_true",
                     help="serving forward ms/call by batch bucket")
+    ap.add_argument("--caption-train", action="store_true",
+                    help="caption training step captions/s + tokens/s")
+    ap.add_argument("--caption-decode", action="store_true",
+                    help="batched caption decode captions/s by bucket")
+    ap.add_argument("--beam", action="store_true",
+                    help="with --caption-decode: beam search")
+    ap.add_argument("--beam-width", type=int, default=4)
+    ap.add_argument("--vocab", type=int, default=10000,
+                    help="caption vocabulary size (COCO-scale default)")
+    ap.add_argument("--emb-dim", type=int, default=300,
+                    help="word embedding dim (GloVe-300 scale)")
+    ap.add_argument("--max-t", type=int, default=20,
+                    help="padded caption grid length T")
+    ap.add_argument("--cap-hidden", type=int, default=512,
+                    help="captioner LSTM hidden size")
     args = ap.parse_args()
+    if args.caption_train:
+        return run_caption_train(args)
+    if args.caption_decode:
+        return run_caption_decode(args)
     if args.latency:
         return run_latency(args)
     if args.eval:
@@ -538,7 +770,7 @@ def main():
         force_cpu = cpu_fallback = True
     import jax
     if force_cpu:
-        jax.config.update("jax_platforms", "cpu")
+        _force_cpu()
     from video_learning_tpu.parallel.mesh import init_platform
     init_platform()
 
